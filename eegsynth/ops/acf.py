@@ -1,0 +1,97 @@
+"""Vectorized autocorrelation statistics.
+
+Replaces the reference's Python triple loop ``autocorr_seq`` (channels × sequences ×
+lags, timeGAN/evaluation.py:63-70) and the per-lag loop ACF loss
+(timeGAN/train_timegan.py:103-126) with one-shot batched jnp formulations built
+from FFT cross-correlation + prefix sums — exact Pearson lag correlations for all
+lags at once, O(T log T) per series instead of O(L·T) Python iterations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("max_lag",))
+def acf_per_channel(x: jax.Array, max_lag: int) -> jax.Array:
+    """Globally z-normed lag correlations — the TimeGAN ACF-loss statistic.
+
+    ``x``: (B, T, C). z-norm over (B, T) per channel (std normalized by N, torch
+    ``.std`` uses N-1 — we match torch's unbiased std), then for each lag
+    ``mean_{B,T-lag}(xz[:, :-lag] * xz[:, lag:])``. Matches
+    timeGAN/train_timegan.py:110-122 (``acf_all``). Returns (max_lag, C).
+
+    The per-lag sum ``sum_t xz[t] xz[t+lag]`` for every lag is one FFT
+    autocorrelation, so no per-lag loop survives into the compiled graph.
+    """
+    B, T, C = x.shape
+    max_lag = max(1, min(max_lag, T - 1))
+    xm = jnp.mean(x, axis=(0, 1), keepdims=True)
+    xs = jnp.std(x, axis=(0, 1), ddof=1, keepdims=True) + 1e-8
+    xz = (x - xm) / xs                                        # (B, T, C)
+
+    xzt = jnp.moveaxis(xz, 1, -1)                             # (B, C, T)
+    spec = jnp.fft.rfft(xzt, n=2 * T, axis=-1)
+    cross = jnp.fft.irfft(spec * jnp.conj(spec), n=2 * T, axis=-1)[..., :T]
+    # cross[..., lag] = sum_t xz[t] * xz[t+lag]
+    lags = jnp.arange(1, max_lag + 1)
+    counts = (B * (T - lags)).astype(x.dtype)                 # (L,)
+    corr = jnp.sum(cross[:, :, 1:max_lag + 1], axis=0) / counts[None, :]  # (C, L)
+    return jnp.moveaxis(corr, 0, 1)                           # (L, C)
+
+
+@partial(jax.jit, static_argnames=("max_lag",))
+def pearson_lag_corrs(x: jax.Array, max_lag: int) -> jax.Array:
+    """Pearson correlation of (x[:-lag], x[lag:]) for lags 1..max_lag, batched.
+
+    ``x``: (..., T) → (..., max_lag). Exact equivalent of
+    ``np.corrcoef(x[:-lag], x[lag:])[0,1]`` (timeGAN/evaluation.py:63-70),
+    via FFT cross-correlation + cumulative sums.
+    """
+    T = x.shape[-1]
+    L = min(max_lag, T - 1)
+    xd = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+    spec = jnp.fft.rfft(xd, n=2 * T, axis=-1)
+    cross = jnp.fft.irfft(spec * jnp.conj(spec), n=2 * T, axis=-1)[..., 1:L + 1]
+
+    csum = jnp.cumsum(xd, axis=-1)
+    csum2 = jnp.cumsum(xd * xd, axis=-1)
+    total, total2 = csum[..., -1:], csum2[..., -1:]
+    lags = jnp.arange(1, L + 1)
+    n = (T - lags).astype(xd.dtype)                           # (L,)
+    # Contiguous slices instead of gathers (slow-compiling on some backends):
+    # head segment x[:T-lag] sums live at cumsum indices T-2 .. T-1-L (reversed);
+    # tail segment x[lag:] sums are total - cumsum[0 .. L-1].
+    sum_a = jnp.flip(csum[..., T - 1 - L: T - 1], axis=-1)
+    sum_a2 = jnp.flip(csum2[..., T - 1 - L: T - 1], axis=-1)
+    sum_b = total - csum[..., 0:L]
+    sum_b2 = total2 - csum2[..., 0:L]
+
+    ma, mb = sum_a / n, sum_b / n
+    cov = cross / n - ma * mb
+    var_a = sum_a2 / n - ma * ma
+    var_b = sum_b2 / n - mb * mb
+    den = jnp.sqrt(jnp.maximum(var_a, 0.0) * jnp.maximum(var_b, 0.0))
+    return (cov / (den + 1e-12)).astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=("max_lag",))
+def mean_acf_per_channel(x: jax.Array, max_lag: int) -> jax.Array:
+    """Reference-eval ACF feature: per-channel mean over sequences of the mean
+    lag-1..max_lag Pearson autocorrelation (timeGAN/evaluation.py:124-128).
+
+    ``x``: (B, T, C) → (C,). Sequences that are nearly constant contribute 0.0,
+    matching the reference's std guard (std < 1e-8 → 0).
+    """
+    B, T, C = x.shape
+    xt = jnp.moveaxis(x, 1, -1)                               # (B, C, T)
+    corr = pearson_lag_corrs(xt, max_lag)                     # (B, C, L)
+    val = jnp.mean(corr, axis=-1)                             # (B, C)
+    # np.std (ddof=0) guard, matching evaluation.py:64
+    guard = jnp.std(xt, axis=-1) < 1e-8
+    val = jnp.where(guard, 0.0, val)
+    return jnp.mean(val, axis=0)

@@ -1,0 +1,116 @@
+"""Welch / ACF / covariance parity vs scipy+numpy oracles."""
+
+import numpy as np
+import scipy.signal as sig
+
+from eegsynth.ops.acf import acf_per_channel, mean_acf_per_channel, pearson_lag_corrs
+from eegsynth.ops.spectral import welch_psd, trapezoid, rfft_power
+from eegsynth.ops.stats import channel_cov, channel_corrcoef, per_sample_channel_cov
+
+
+def test_welch_matches_scipy(rng):
+    x = rng.standard_normal((8, 768, 14))
+    f_ref, p_ref = sig.welch(x, fs=128.0, axis=1, nperseg=256)
+    f, p = welch_psd(x, fs=128.0, nperseg=256, axis=1)
+    np.testing.assert_allclose(np.asarray(f), f_ref, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(p), p_ref, rtol=1e-8, atol=1e-12)
+
+
+def test_welch_1d_and_odd_nperseg(rng):
+    x = rng.standard_normal(2560)
+    f_ref, p_ref = sig.welch(x, fs=128.0, nperseg=512, noverlap=256)
+    f, p = welch_psd(x, fs=128.0, nperseg=512, noverlap=256)
+    np.testing.assert_allclose(np.asarray(p), p_ref, rtol=1e-8, atol=1e-12)
+    f_ref, p_ref = sig.welch(x, fs=128.0, nperseg=255)
+    f, p = welch_psd(x, fs=128.0, nperseg=255)
+    np.testing.assert_allclose(np.asarray(p), p_ref, rtol=1e-8, atol=1e-12)
+
+
+def test_trapezoid(rng):
+    y = rng.standard_normal(50)
+    x = np.sort(rng.standard_normal(50))
+    np.testing.assert_allclose(float(trapezoid(y, x)), np.trapz(y, x), rtol=1e-9)
+
+
+def test_rfft_power(rng):
+    x = rng.standard_normal((4, 768, 14))
+    ref = np.abs(np.fft.rfft(x, axis=1)) ** 2
+    np.testing.assert_allclose(np.asarray(rfft_power(x, axis=1)), ref, rtol=1e-7, atol=1e-9)
+
+
+def _acf_all_oracle(x, max_lag):
+    """NumPy replication of train_timegan.py:110-122 (torch unbiased std)."""
+    xm = x.mean(axis=(0, 1), keepdims=True)
+    xs = x.std(axis=(0, 1), ddof=1, keepdims=True) + 1e-8
+    xz = (x - xm) / xs
+    out = []
+    for lag in range(1, max_lag + 1):
+        out.append((xz[:, :-lag, :] * xz[:, lag:, :]).mean(axis=(0, 1)))
+    return np.stack(out, axis=0)
+
+
+def test_acf_per_channel_matches_loop(rng):
+    x = rng.standard_normal((6, 120, 5))
+    ours = np.asarray(acf_per_channel(x, 48))
+    np.testing.assert_allclose(ours, _acf_all_oracle(x, 48), rtol=1e-6, atol=1e-9)
+
+
+def _autocorr_seq_oracle(x, maxlag):
+    """NumPy replication of evaluation.py:63-70."""
+    if np.std(x) < 1e-8:
+        return 0.0
+    vals = []
+    for lag in range(1, maxlag + 1):
+        if lag >= len(x):
+            break
+        vals.append(np.corrcoef(x[:-lag], x[lag:])[0, 1])
+    return float(np.mean(vals)) if vals else 0.0
+
+
+def test_pearson_lag_corrs(rng):
+    x = rng.standard_normal(200)
+    ours = np.asarray(pearson_lag_corrs(x, 96))
+    ref = [np.corrcoef(x[:-lag], x[lag:])[0, 1] for lag in range(1, 97)]
+    np.testing.assert_allclose(ours, ref, atol=1e-8)
+
+
+def test_mean_acf_per_channel(rng):
+    x = rng.standard_normal((5, 128, 3)).astype(np.float64)
+    x[:, :, 1] = 0.5  # constant channel triggers the std guard
+    ours = np.asarray(mean_acf_per_channel(x, 96))
+    ref = [np.mean([_autocorr_seq_oracle(seq[:, c], 96) for seq in x]) for c in range(3)]
+    np.testing.assert_allclose(ours, ref, atol=1e-8)
+
+
+def test_channel_cov_corr(rng):
+    x = rng.standard_normal((7, 64, 6))
+    flat = x.reshape(-1, 6)
+    np.testing.assert_allclose(np.asarray(channel_cov(x)), np.cov(flat, rowvar=False),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(channel_corrcoef(x)),
+                               np.corrcoef(flat, rowvar=False), rtol=1e-7, atol=1e-10)
+
+
+def test_per_sample_channel_cov(rng):
+    x = rng.standard_normal((4, 6, 64))  # (B, C, T)
+    ref = np.mean([np.cov(s) for s in x], axis=0)
+    np.testing.assert_allclose(np.asarray(per_sample_channel_cov(x)), ref, rtol=1e-8, atol=1e-12)
+
+
+def test_windowing_and_scaling(rng):
+    from eegsynth.data.scaling import minmax_apply, minmax_fit, minmax_invert
+    from eegsynth.data.windowing import epoch_fixed
+
+    arr = rng.standard_normal((2000, 14))
+    eps = epoch_fixed(arr, 768, 0.0)
+    assert eps.shape == (2, 768, 14)
+    np.testing.assert_allclose(eps[1], arr[768:1536], rtol=1e-6)
+    assert epoch_fixed(arr[:700], 768).shape == (0, 768, 14)
+    # 50% overlap
+    assert epoch_fixed(arr, 768, 0.5).shape == (4, 768, 14)
+
+    x = rng.standard_normal((5, 768, 14)).astype(np.float32)
+    mn, rg = minmax_fit(x)
+    xs = minmax_apply(x, mn, rg)
+    assert xs.min() >= 0.0 and xs.max() <= 1.0 + 1e-6
+    np.testing.assert_allclose(minmax_invert(xs, mn, rg), x, atol=1e-4)
