@@ -20,6 +20,10 @@ def setup_compilation_cache(path: str | None = None) -> None:
     if jax.config.jax_compilation_cache_dir:
         return
     cache_dir = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT_CACHE)
+    # Partition by platform: executables AOT-compiled for one backend/host-flag
+    # set must not be loaded by another (XLA warns of possible SIGILL).
+    platform = jax.config.jax_platforms or "default"
+    cache_dir = os.path.join(cache_dir, platform.replace(",", "_"))
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

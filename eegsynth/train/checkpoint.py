@@ -1,0 +1,61 @@
+"""Flat-pytree NPZ checkpoints with JSON meta.
+
+Plays the role of the reference's ``torch.save({"step","model","optG","optD",
+"meta"})`` payloads (train_timegan.py:58-61) — same logical contract
+(ckpt_latest / ckpt_best + meta {npz, z_dim, h_dim[, best]}), stored as a
+compressed NPZ of path-flattened arrays so no pickle is involved.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
+    flat = {}
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in leaves_with_paths:
+        key = prefix + jax.tree_util.keystr(path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save_checkpoint(path: Path | str, trees: dict[str, Any], meta: dict) -> None:
+    """``trees``: named pytrees (e.g. {"model": params, "optG": ..., "optD": ...}).
+
+    Arrays go into one NPZ under ``<name><treepath>`` keys; ``meta`` plus the
+    treedefs' structure are restored by unflattening into a caller-provided
+    template (see :func:`load_checkpoint`).
+    """
+    payload: dict[str, np.ndarray] = {}
+    for name, tree in trees.items():
+        payload.update(_flatten(tree, prefix=name))
+    payload["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8).copy()
+    np.savez_compressed(path, **payload)
+
+
+def load_checkpoint(path: Path | str, templates: dict[str, Any]):
+    """Restore named pytrees into the structure of ``templates``.
+
+    Returns (trees, meta). Leaves are matched by flattened path key; dtype
+    follows the stored array.
+    """
+    data = np.load(path)
+    meta = json.loads(bytes(data["__meta__"]).decode("utf-8"))
+    out = {}
+    for name, template in templates.items():
+        paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        for p, leaf in paths_and_leaves:
+            key = name + jax.tree_util.keystr(p)
+            if key not in data.files:
+                raise KeyError(f"checkpoint {path} missing leaf {key}")
+            leaves.append(data[key])
+        out[name] = jax.tree_util.tree_unflatten(treedef, leaves)
+    return out, meta

@@ -1,0 +1,48 @@
+"""Data-parallel sharding over a device mesh.
+
+The reference is strictly single-device (SURVEY.md §2.6) — this module is the
+TPU-native replacement: a 1-D ``data`` mesh, batch dimension sharded across ICI,
+parameters/optimizer state replicated, gradients combined by XLA's all-reduce
+(inserted automatically by GSPMD from the sharding annotations — no hand-written
+collectives needed for pure data parallelism).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh | None, axis: str = "data"):
+    """NamedSharding that splits the leading (batch) dim, or None off-mesh."""
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh | None):
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P())
+
+
+def constrain_batch(x, mesh: Mesh | None, axis: str = "data"):
+    """Annotate a batch-major array as sharded over the data axis (no-op
+    without a mesh)."""
+    if mesh is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(axis)))
+
+
+def round_batch_to_mesh(batch_size: int, mesh: Mesh | None) -> int:
+    """Largest batch ≤ batch_size divisible by the mesh size (≥ mesh size)."""
+    if mesh is None:
+        return batch_size
+    n = mesh.devices.size
+    return max(n, (batch_size // n) * n)

@@ -1,0 +1,412 @@
+"""Three-phase TimeGAN trainer — jit-compiled end-to-end, data-parallel ready.
+
+Reference behavior being reproduced (timeGAN/train_timegan.py):
+- Phase 1 autoencoder pretrain (:131-144): E+R joint Adam, 10·sqrt(MSE) recon
+  loss, global-norm grad clip, epoch loss = sample-weighted mean.
+- Phase 2 supervisor pretrain (:147-163): frozen encoder, next-step latent MSE.
+- Phase 3 joint adversarial (:166-276, :365-413): D step (BCE with smoothed
+  labels + instance noise + R1 on real latents + soft accuracy throttle) then
+  G step (adv + α·sup + β·recon + γ_cov·cov + γ_acf·ACF), MultiStepLR halving
+  at 50%/75%, per-step CSV log, ckpt_latest every 500 steps, ckpt_best by
+  minimum G total, final synthetic.npz sized like the real bucket.
+
+TPU-first design: each phase is a `lax.scan` over jitted steps — the GAN phase
+runs in chunks of ``chunk`` steps per device dispatch, carrying params, both
+optimizer states, the running best (exact best-step semantics on device), and
+the PRNG key. Batches are drawn on device from the resident bucket (a leading-
+axis gather), so the host touches the device once per chunk instead of twice
+per step. With a mesh, the batch dimension is sharded across ICI and GSPMD
+inserts the gradient all-reduce (SURVEY.md §2.6).
+
+Deviation from the reference (documented): the reference's DataLoader yields a
+short final batch per epoch (drop_last=False). Phases 1–2 reproduce that exactly
+via weighted masks; the GAN phase instead samples fixed-size batches without
+replacement per step (shape-static, distribution-equivalent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from eegsynth.losses.timegan import (
+    acf_loss, add_instance_noise, bce, cov_loss, recon_loss, smooth_labels,
+    sup_loss, throttle_scale,
+)
+from eegsynth.models.timegan import (
+    TimeGANConfig, adaptive_dims, decode, encode, gen_latent, recover,
+    reconstruct, refine_latent, sample_noise, timegan_init,
+)
+from eegsynth.nn.gru import gru_stack_apply
+from eegsynth.nn.spectral_norm import sn_dense_apply
+from eegsynth.train import checkpoint as ckpt_io
+from eegsynth.train.sharding import constrain_batch, round_batch_to_mesh
+
+
+@dataclasses.dataclass(frozen=True)
+class TimeGANHParams:
+    """Knobs of train_single_npz (train_timegan.py:281-303); defaults match the
+    committed timegan_config.json."""
+    batch_size: int = 64
+    ae_epochs: int = 120
+    sup_epochs: int = 150
+    gan_steps: int = 8000
+    lr_g: float = 1e-3
+    lr_d: float = 3e-4
+    beta1: float = 0.5
+    beta2: float = 0.9
+    alpha_sup: float = 3.0
+    beta_rec: float = 0.15
+    label_smooth: float = 0.2
+    inst_noise_start: float = 0.25
+    inst_noise_end: float = 0.05
+    grad_clip: float = 0.5
+    layers: int = 1
+    dropout: float = 0.2
+    seed: int = 42
+    r1_gamma: float = 1.0
+    d_min_acc: float = 0.45
+    d_max_acc: float = 0.68
+    gamma_cov: float = 0.03
+    gamma_acf: float = 0.02
+    acf_max_lag: int = 48
+    chunk: int = 500          # GAN steps per device dispatch (ours)
+
+
+def _multistep_lr(init: float, milestones: tuple[int, ...], gamma: float = 0.5):
+    """torch MultiStepLR semantics on the optax update count
+    (train_timegan.py:348-349)."""
+    ms = jnp.asarray(milestones)
+
+    def sched(count):
+        return init * gamma ** jnp.sum(count >= ms)
+
+    return sched
+
+
+def _make_opt(lr, clip: float, beta1: float, beta2: float):
+    return optax.chain(optax.clip_by_global_norm(clip), optax.adam(lr, b1=beta1, b2=beta2))
+
+
+def _disc_apply(d_params, h, train: bool):
+    """H → (p(real), updated d) — GRU last step + spectral-norm head + sigmoid
+    (timegan_model.py:86-98)."""
+    y = gru_stack_apply(d_params["gru"], h)
+    logits, fc_new = sn_dense_apply(d_params["fc"], y[:, -1, :], train=train)
+    return jax.nn.sigmoid(logits), {**d_params, "fc": fc_new}
+
+
+def _padded_batches(key, n: int, batch: int):
+    """Shuffled epoch split into fixed-size batches with validity weights —
+    exact DataLoader(shuffle=True, drop_last=False) semantics under static
+    shapes. Returns (idx (nb, B), w (nb, B))."""
+    nb = -(-n // batch)
+    perm = jax.random.permutation(key, n)
+    pad = nb * batch - n
+    idx = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
+    w = jnp.concatenate([jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)])
+    return idx.reshape(nb, batch), w.reshape(nb, batch)
+
+
+# --------------------------------------------------------------------------
+# Phase factories: each returns one jitted epoch/chunk function.
+# --------------------------------------------------------------------------
+
+def make_ae_epoch(hp: TimeGANHParams, opt, mesh=None):
+    @jax.jit
+    def ae_epoch(params, opt_state, X, key):
+        n = X.shape[0]
+        idx_b, w_b = _padded_batches(key, n, min(hp.batch_size, n))
+
+        def batch_step(carry, inp):
+            params, opt_state = carry
+            idx, w = inp
+            x = constrain_batch(X[idx], mesh)
+
+            def loss_fn(er):
+                p = {**params, **er}
+                return recon_loss(x, reconstruct(p, x), weight=w)
+
+            er = {"embedder": params["embedder"], "recovery": params["recovery"]}
+            loss, grads = jax.value_and_grad(loss_fn)(er)
+            updates, opt_state = opt.update(grads, opt_state, er)
+            er = optax.apply_updates(er, updates)
+            return ({**params, **er}, opt_state), loss * jnp.sum(w)
+
+        (params, opt_state), losses = jax.lax.scan(batch_step, (params, opt_state), (idx_b, w_b))
+        return params, opt_state, jnp.sum(losses) / n
+
+    return ae_epoch
+
+
+def make_sup_epoch(hp: TimeGANHParams, opt, mesh=None):
+    @jax.jit
+    def sup_epoch(params, opt_state, X, key):
+        n = X.shape[0]
+        idx_b, w_b = _padded_batches(key, n, min(hp.batch_size, n))
+
+        def batch_step(carry, inp):
+            params, opt_state = carry
+            idx, w = inp
+            x = constrain_batch(X[idx], mesh)
+            h = jax.lax.stop_gradient(encode(params, x))
+
+            def loss_fn(sup):
+                p = {**params, "supervisor": sup}
+                h_pred = refine_latent(p, h[:, :-1, :])
+                se = (h_pred - h[:, 1:, :]) ** 2
+                wr = w.reshape(-1, 1, 1)
+                return jnp.sum(se * wr) / (jnp.sum(w) * se.shape[1] * se.shape[2])
+
+            loss, grads = jax.value_and_grad(loss_fn)(params["supervisor"])
+            updates, opt_state = opt.update(grads, opt_state, params["supervisor"])
+            sup = optax.apply_updates(params["supervisor"], updates)
+            return ({**params, "supervisor": sup}, opt_state), loss * jnp.sum(w)
+
+        (params, opt_state), losses = jax.lax.scan(batch_step, (params, opt_state), (idx_b, w_b))
+        return params, opt_state, jnp.sum(losses) / n
+
+    return sup_epoch
+
+
+def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None):
+    """One device dispatch = ``n_steps`` full D+G GAN iterations via lax.scan."""
+    target_acc = 0.5 * (hp.d_min_acc + hp.d_max_acc)
+    band = max(0.0, hp.d_max_acc - hp.d_min_acc)
+    noise_decay = (hp.inst_noise_start - hp.inst_noise_end) / max(1, hp.gan_steps)
+
+    def one_step(carry, step):
+        params, d_state, g_state, best_params, best_loss, best_step, key = carry
+        key, k_idx, k_z1, k_nr, k_nf, k_lbl, k_z2, k_ng = jax.random.split(key, 8)
+        inst = jnp.maximum(hp.inst_noise_end,
+                           hp.inst_noise_start - (step - 1).astype(jnp.float32) * noise_decay)
+
+        n = X_ref[0].shape[0]
+        idx = jax.random.permutation(k_idx, n)[:B_eff]
+        x = constrain_batch(X_ref[0][idx], mesh)
+        B, T = x.shape[0], x.shape[1]
+
+        # ---------------- D step (train_timegan.py:166-225) ----------------
+        z = sample_noise(k_z1, B, T, cfg.z_dim)
+        h_real = encode(params, x)                    # E frozen for D update
+        e_hat = gen_latent(params, z)
+        h_fake = refine_latent(params, e_hat)
+        h_real_n = constrain_batch(add_instance_noise(k_nr, h_real, inst), mesh)
+        h_fake_n = constrain_batch(add_instance_noise(k_nf, h_fake, inst), mesh)
+        y_real, y_fake = smooth_labels(k_lbl, B, hp.label_smooth)
+
+        def d_loss_fn(d_params):
+            d_real, d_after = _disc_apply(d_params, h_real_n, train=True)
+            d_fake, d_after = _disc_apply(d_after, h_fake_n, train=True)
+            loss = 0.5 * (bce(d_real, y_real) + bce(d_fake, y_fake))
+            if hp.r1_gamma > 0.0:
+                def score_sum(h):
+                    return jnp.sum(_disc_apply(d_params, h, train=False)[0])
+                grad_h = jax.grad(score_sum)(h_real_n)
+                r1 = jnp.mean(jnp.sum(grad_h.reshape(B, -1) ** 2, axis=1))
+                loss = loss + 0.5 * hp.r1_gamma * r1
+            acc_real = jnp.mean((d_real > 0.5).astype(jnp.float32))
+            acc_fake = jnp.mean((d_fake < 0.5).astype(jnp.float32))
+            acc = 0.5 * (acc_real + acc_fake)
+            if band > 0:
+                loss = loss * throttle_scale(acc, target_acc, band)
+            return loss, (acc, d_after["fc"]["u"])
+
+        (d_loss, (d_acc, u_new)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(params["discriminator"])
+        d_updates, d_state = optD.update(d_grads, d_state, params["discriminator"])
+        new_d = optax.apply_updates(params["discriminator"], d_updates)
+        new_d["fc"] = {**new_d["fc"], "u": u_new}
+        params = {**params, "discriminator": new_d}
+
+        # ---------------- G step (train_timegan.py:228-276) ----------------
+        z2 = sample_noise(k_z2, B, T, cfg.z_dim)
+
+        def g_loss_fn(gser):
+            p = {**params, **gser}
+            e_hat = gen_latent(p, z2)
+            h_hat = refine_latent(p, e_hat)
+            d_fake, d_after = _disc_apply(params["discriminator"],
+                                          add_instance_noise(k_ng, h_hat, inst), train=True)
+            g_adv = bce(d_fake, jnp.ones_like(d_fake))
+            g_sup = sup_loss(h_hat)
+            g_rec = recon_loss(x, reconstruct(p, x))
+            x_hat = decode(p, h_hat)
+            cov_term = cov_loss(x_hat, x) if hp.gamma_cov > 0 else jnp.float32(0.0)
+            acf_term = (acf_loss(x_hat, x, hp.acf_max_lag)
+                        if hp.gamma_acf > 0 else jnp.float32(0.0))
+            total = (g_adv + hp.alpha_sup * g_sup + hp.beta_rec * g_rec
+                     + hp.gamma_cov * cov_term + hp.gamma_acf * acf_term)
+            return total, (g_adv, g_sup, g_rec, cov_term, acf_term, d_after["fc"]["u"])
+
+        gser = {k: params[k] for k in ("generator", "supervisor", "embedder", "recovery")}
+        (g_total, (g_adv, g_supv, g_rec, g_cov, g_acf, u_new2)), g_grads = \
+            jax.value_and_grad(g_loss_fn, has_aux=True)(gser)
+        g_updates, g_state = optG.update(g_grads, g_state, gser)
+        gser = optax.apply_updates(gser, g_updates)
+        params = {**params, **gser}
+        params["discriminator"]["fc"] = {**params["discriminator"]["fc"], "u": u_new2}
+
+        # Best-by-G-total tracking, exact per-step (train_timegan.py:410-413)
+        is_best = g_total < best_loss
+        best_params = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(is_best, a, b), params, best_params)
+        best_loss = jnp.where(is_best, g_total, best_loss)
+        best_step = jnp.where(is_best, step, best_step)
+
+        logs = jnp.stack([d_loss, d_acc, g_total, g_adv, g_supv, g_rec, g_cov, g_acf])
+        return (params, d_state, g_state, best_params, best_loss, best_step, key), logs
+
+    X_ref = []   # bound at jit time through closure via the wrapper below
+    B_eff = None
+
+    def build(X, batch_eff):
+        nonlocal B_eff
+        X_ref.clear()
+        X_ref.append(X)
+        B_eff = batch_eff
+
+        @jax.jit
+        def gan_chunk(params, d_state, g_state, best_params, best_loss, best_step,
+                      key, step0, n_steps_arr):
+            steps = step0 + n_steps_arr  # (chunk,) global 1-based step ids
+            carry = (params, d_state, g_state, best_params, best_loss, best_step, key)
+            carry, logs = jax.lax.scan(one_step, carry, steps)
+            return carry, logs
+
+        return gan_chunk
+
+    return build
+
+
+# --------------------------------------------------------------------------
+# Full driver (train_single_npz parity, train_timegan.py:281-422)
+# --------------------------------------------------------------------------
+
+def train_single_npz(npz_path, out_dir, device=None, mesh=None,
+                     log_every: int = 100, **hparams) -> dict:
+    """Train one TimeGAN on one (posture, condition) bucket NPZ.
+
+    Writes the reference artifact set into ``out_dir``: train_log.csv (same
+    columns), ckpt_latest.npz / ckpt_best.npz ({step, model, optG, optD, meta}),
+    synthetic.npz. Returns a summary dict incl. measured GAN steps/sec.
+    """
+    npz_path, out_dir = Path(npz_path), Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    hp = TimeGANHParams(**hparams)
+
+    data = np.load(npz_path)
+    X_host = data["X"].astype(np.float32)
+    N, T, C = X_host.shape
+    z_dim, h_dim = adaptive_dims(C, T)
+    cfg = TimeGANConfig(x_dim=C, z_dim=z_dim, h_dim=h_dim,
+                        num_layers=hp.layers, dropout=hp.dropout)
+
+    log_file = out_dir / "train_log.csv"
+    with open(log_file, "w") as f:
+        f.write("step,phase,loss_D,acc_D,loss_G,loss_adv,loss_sup,loss_rec,loss_cov,loss_acf\n")
+
+    print(f"==> {npz_path.name} | N={N} T={T} C={C}  z_dim={z_dim} h_dim={h_dim}", flush=True)
+
+    key = jax.random.key(hp.seed)
+    key, k_init = jax.random.split(key)
+    params = timegan_init(k_init, cfg)
+    X = jnp.asarray(X_host)
+
+    # Phase 1: autoencoder (E+R)
+    optER = _make_opt(hp.lr_g, hp.grad_clip, hp.beta1, hp.beta2)
+    er0 = {"embedder": params["embedder"], "recovery": params["recovery"]}
+    opt_state = optER.init(er0)
+    ae_epoch = make_ae_epoch(hp, optER, mesh)
+    for ep in range(1, hp.ae_epochs + 1):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = ae_epoch(params, opt_state, X, sub)
+        print(f"[AE] epoch {ep}/{hp.ae_epochs}  recon={float(loss):.5f}", flush=True)
+
+    # Phase 2: supervisor
+    optS = _make_opt(hp.lr_g, hp.grad_clip, hp.beta1, hp.beta2)
+    opt_state = optS.init(params["supervisor"])
+    sup_epoch = make_sup_epoch(hp, optS, mesh)
+    for ep in range(1, hp.sup_epochs + 1):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = sup_epoch(params, opt_state, X, sub)
+        print(f"[SUP] epoch {ep}/{hp.sup_epochs}  sup={float(loss):.5f}", flush=True)
+
+    # Phase 3: adversarial
+    milestones = (hp.gan_steps // 2, int(hp.gan_steps * 0.75))
+    optD = _make_opt(_multistep_lr(hp.lr_d, milestones), hp.grad_clip, hp.beta1, hp.beta2)
+    optG = _make_opt(_multistep_lr(hp.lr_g, milestones), hp.grad_clip, hp.beta1, hp.beta2)
+    d_state = optD.init(params["discriminator"])
+    gser = {k: params[k] for k in ("generator", "supervisor", "embedder", "recovery")}
+    g_state = optG.init(gser)
+
+    batch_eff = round_batch_to_mesh(min(hp.batch_size, N), mesh)
+    gan_chunk = make_gan_chunk(cfg, hp, optD, optG, mesh)(X, batch_eff)
+
+    best_params = params
+    best_loss = jnp.float32(np.inf)
+    best_step = jnp.int32(0)
+    meta = {"npz": npz_path.name, "z_dim": z_dim, "h_dim": h_dim}
+
+    def save(path, p, dstate_, gstate_, step, extra_meta=None):
+        ckpt_io.save_checkpoint(path, {"model": p, "optG": gstate_, "optD": dstate_},
+                                {**meta, "step": int(step), **(extra_meta or {})})
+
+    t_start = time.perf_counter()
+    done = 0
+    while done < hp.gan_steps:
+        n_steps = min(hp.chunk, hp.gan_steps - done)
+        key, sub = jax.random.split(key)
+        (params, d_state, g_state, best_params, best_loss, best_step, _), logs = gan_chunk(
+            params, d_state, g_state, best_params, best_loss, best_step,
+            sub, jnp.int32(done), jnp.arange(1, n_steps + 1, dtype=jnp.int32))
+        logs = np.asarray(logs)
+        done += n_steps
+        with open(log_file, "a") as f:
+            for i in range(n_steps):
+                s = done - n_steps + i + 1
+                row = logs[i]
+                f.write(f"{s},GAN," + ",".join(repr(float(v)) for v in row) + "\n")
+                if s % log_every == 0:
+                    print(f"[GAN] step {s}/{hp.gan_steps}  D:loss={row[0]:.4f} "
+                          f"acc≈{row[1]:.2f}  G:total={row[2]:.4f} (adv={row[3]:.4f}, "
+                          f"sup={row[4]:.4f}, rec={row[5]:.4f}, cov={row[6]:.4f}, "
+                          f"acf={row[7]:.4f})", flush=True)
+        if done % 500 == 0 or done == hp.gan_steps:
+            save(out_dir / "ckpt_latest.npz", params, d_state, g_state, done)
+        save(out_dir / "ckpt_best.npz", best_params, d_state, g_state,
+             int(best_step), {"best": True, "best_loss": float(best_loss)})
+    gan_seconds = time.perf_counter() - t_start
+    steps_per_sec = hp.gan_steps / gan_seconds if gan_seconds > 0 else float("nan")
+    print(f"[GAN] {hp.gan_steps} steps in {gan_seconds:.1f}s → {steps_per_sec:.2f} steps/s",
+          flush=True)
+
+    # Final sampling, same count as real (train_timegan.py:416-421)
+    key, sub = jax.random.split(key)
+    X_hat = synthesize(params, cfg, sub, N, T)
+    np.savez_compressed(out_dir / "synthetic.npz", X=np.asarray(X_hat, dtype=np.float32))
+    print(f"Saved synthetic: {out_dir / 'synthetic.npz'}", flush=True)
+
+    return {"steps_per_sec": steps_per_sec, "gan_seconds": gan_seconds,
+            "best_step": int(best_step), "best_loss": float(best_loss),
+            "params": params, "cfg": cfg}
+
+
+def synthesize(params, cfg: TimeGANConfig, key, n: int, seq_len: int,
+               batch: int | None = None) -> jax.Array:
+    """Z → decode(refine(gen(Z))) (train_timegan.py:416-419;
+    generate_long_synth.py:117-121). Static shape per (n, seq_len)."""
+    @jax.jit
+    def run(p, z):
+        return decode(p, refine_latent(p, gen_latent(p, z)))
+
+    z = sample_noise(key, n, seq_len, cfg.z_dim)
+    return run(params, z)

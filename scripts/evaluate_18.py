@@ -1,0 +1,30 @@
+#!/usr/bin/env python3
+"""TimeGAN evaluation over all 18 (posture, condition) pairs + global.
+
+CLI parity with timeGAN/evaluate_18.py (incl. --tsne_max subsample and the
+synthetic_long.npz → synthetic.npz file preference).
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    ap.add_argument("--real_dir", type=str, default="./preprocessed")
+    ap.add_argument("--synth_dir", type=str, default="./timegan_runs")
+    ap.add_argument("--out", type=str, default="./eval_out")
+    ap.add_argument("--fs", type=float, default=128.0)
+    ap.add_argument("--tsne_max", type=int, default=6000)
+    args = ap.parse_args()
+
+    from eegsynth.eval.drivers import run_timegan_eval
+    run_timegan_eval(args.real_dir, args.synth_dir, args.out, fs=args.fs,
+                     by_condition=True, tsne_max=args.tsne_max)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,31 @@
+#!/usr/bin/env python3
+"""TimeGAN evaluation, per-posture (conditions merged) + global.
+
+CLI parity with timeGAN/evaluation.py:
+  python scripts/evaluation.py --real_dir ./preprocessed --synth_dir ./timegan_runs \
+      --out ./eval_out --fs 128
+Writes metrics_per_posture.csv, metrics_global.csv, pca_global.png, tsne_global.png.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    ap.add_argument("--real_dir", type=str, default="./preprocessed")
+    ap.add_argument("--synth_dir", type=str, default="./timegan_runs")
+    ap.add_argument("--out", type=str, default="./eval_out")
+    ap.add_argument("--fs", type=float, default=128.0)
+    args = ap.parse_args()
+
+    from eegsynth.eval.drivers import run_timegan_eval
+    run_timegan_eval(args.real_dir, args.synth_dir, args.out, fs=args.fs,
+                     by_condition=False)
+
+
+if __name__ == "__main__":
+    main()

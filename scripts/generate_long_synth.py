@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Generate long synthetic EEG from trained TimeGAN checkpoints.
+
+CLI parity with the reference (timeGAN/generate_long_synth.py:44-61):
+scans runs_dir/posture{p}_{with_exo|no_exo}/, loads ckpt_best.npz (fallback
+ckpt_latest.npz, --prefer_latest flips), rebuilds the model from checkpoint meta
+plus the real NPZ (x_dim, fs), samples U[0,1) noise at the requested horizon
+(--gen_seconds·fs | --gen_len | training T), optionally denormalizes with the
+bucket scalers, and writes synthetic_long.npz per run.
+"""
+
+import argparse
+import re
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    ap.add_argument("--runs_dir", type=str, default="./timegan_runs")
+    ap.add_argument("--real_dir", type=str, default="./preprocessed")
+    ap.add_argument("--out_suffix", type=str, default="synthetic_long.npz")
+    ap.add_argument("--gen_seconds", type=float, default=None)
+    ap.add_argument("--gen_len", type=int, default=None)
+    ap.add_argument("--n", type=int, default=None)
+    ap.add_argument("--prefer_latest", action="store_true")
+    ap.add_argument("--denorm", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="Optional synthesis micro-batch (memory cap for huge N·T)")
+    args = ap.parse_args()
+
+    import jax
+    from eegsynth.models.timegan import TimeGANConfig, timegan_init
+    from eegsynth.train.checkpoint import load_checkpoint
+    from eegsynth.train.timegan import synthesize
+
+    runs_root = Path(args.runs_dir)
+    real_root = Path(args.real_dir)
+    run_dirs = [p for p in sorted(runs_root.iterdir())
+                if p.is_dir() and re.match(r"posture\d+_(with_exo|no_exo)$", p.name)]
+    if not run_dirs:
+        raise SystemExit(f"No run folders found under {runs_root}")
+
+    key = jax.random.key(args.seed)
+    for rd in run_dirs:
+        m = re.match(r"posture(\d+)_(with_exo|no_exo)$", rd.name)
+        posture, cond = int(m.group(1)), m.group(2)
+
+        ckpt_best, ckpt_last = rd / "ckpt_best.npz", rd / "ckpt_latest.npz"
+        ckpt = (ckpt_last if args.prefer_latest and ckpt_last.exists()
+                else (ckpt_best if ckpt_best.exists() else ckpt_last))
+        if not ckpt.exists():
+            print(f"[SKIP] {rd.name}: no checkpoint found.")
+            continue
+
+        real_npz = real_root / f"posture{posture}_{cond}.npz"
+        if not real_npz.exists():
+            print(f"[SKIP] {rd.name}: real file missing: {real_npz}")
+            continue
+        real = np.load(real_npz)
+        N_real, T_train, C = real["X"].shape
+        fs = float(real["fs"]) if "fs" in real.files else 128.0
+
+        # Rebuild from meta (generate_long_synth.py:96-101)
+        import json
+        raw = np.load(ckpt)
+        meta = json.loads(bytes(raw["__meta__"]).decode("utf-8"))
+        cfg = TimeGANConfig(x_dim=C, z_dim=int(meta["z_dim"]), h_dim=int(meta["h_dim"]))
+        template = timegan_init(jax.random.key(0), cfg)
+        trees, _ = load_checkpoint(ckpt, {"model": template})
+        params = trees["model"]
+
+        if args.gen_seconds is not None:
+            T_out = int(round(args.gen_seconds * fs))
+        elif args.gen_len is not None:
+            T_out = int(args.gen_len)
+        else:
+            T_out = int(T_train)
+        N_out = int(args.n) if args.n is not None else int(N_real)
+
+        print(f"[{rd.name}] N_out={N_out}  T_out={T_out}  C={C}  "
+              f"z_dim={cfg.z_dim}  fs≈{fs:.2f}", flush=True)
+
+        key, sub = jax.random.split(key)
+        chunks = []
+        bs = args.batch or N_out
+        for i in range(0, N_out, bs):
+            sub, k = jax.random.split(sub)
+            chunks.append(np.asarray(synthesize(params, cfg, k, min(bs, N_out - i), T_out),
+                                     dtype=np.float32))
+        Xh = np.concatenate(chunks, axis=0)
+
+        if args.denorm and "scale_min" in real.files and "scale_range" in real.files:
+            mn = real["scale_min"].astype(np.float32)
+            rg = real["scale_range"].astype(np.float32)
+            Xh = Xh * rg[None, None, :] + mn[None, None, :]
+
+        out_fp = rd / (args.out_suffix if "{" not in args.out_suffix
+                       else args.out_suffix.format(T=T_out))
+        np.savez_compressed(out_fp, X=Xh)
+        print(f"[OK] wrote {out_fp}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Train one TimeGAN per (posture, condition) NPZ bucket — TPU-native.
+
+Keeps both reference entry contracts:
+- config-JSON/YAML front-end (reference timeGAN/main.py):
+    python scripts/train_timegan.py --config configs/timegan_config.json
+- argparse flags with the reference defaults (reference timeGAN/train_timegan.py:427-457);
+  flags override config values when both are given.
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+CONFIG_KEYS = {
+    "batch_size": int, "ae_epochs": int, "sup_epochs": int, "gan_steps": int,
+    "lr_g": float, "lr_d": float, "beta1": float, "beta2": float,
+    "alpha_sup": float, "beta_rec": float, "label_smooth": float,
+    "inst_noise_start": float, "inst_noise_end": float, "grad_clip": float,
+    "layers": int, "dropout": float, "seed": int, "r1_gamma": float,
+    "d_min_acc": float, "d_max_acc": float, "gamma_cov": float,
+    "gamma_acf": float, "acf_max_lag": int, "chunk": int,
+}
+
+
+def load_config(path: Path) -> dict:
+    """JSON, or YAML when available (reference main.py:13-25)."""
+    if not path.exists():
+        raise SystemExit(f"Config file not found: {path}")
+    if path.suffix.lower() in {".yaml", ".yml"}:
+        try:
+            import yaml
+        except Exception as e:  # pragma: no cover
+            raise SystemExit("YAML config requested but PyYAML not installed; use JSON.") from e
+        with open(path, "r", encoding="utf-8") as f:
+            return yaml.safe_load(f)
+    with open(path, "r", encoding="utf-8") as f:
+        return json.load(f)
+
+
+def main():
+    ap = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    ap.add_argument("--config", type=str, default=None,
+                    help="JSON/YAML config (same schema as the reference timegan_config.json)")
+    ap.add_argument("--data_dir", type=str, default=None)
+    ap.add_argument("--out_dir", type=str, default=None)
+    for k, typ in CONFIG_KEYS.items():
+        ap.add_argument(f"--{k}", type=typ, default=None)
+    args = ap.parse_args()
+
+    cfg = load_config(Path(args.config)) if args.config else {}
+    data_dir = Path(args.data_dir or cfg.get("data_dir", "./preprocessed"))
+    out_root = Path(args.out_dir or cfg.get("out_dir", "./timegan_runs"))
+    out_root.mkdir(parents=True, exist_ok=True)
+
+    hp = {}
+    for k, typ in CONFIG_KEYS.items():
+        flag = getattr(args, k)
+        if flag is not None:
+            hp[k] = typ(flag)
+        elif k in cfg:
+            hp[k] = typ(cfg[k])
+
+    from eegsynth.data.io import bucket_paths
+    from eegsynth.train.timegan import train_single_npz
+    import jax
+
+    files = bucket_paths(data_dir)
+    if not files:
+        raise SystemExit(f"No NPZs found in {data_dir}. Run preprocessing first.")
+    print(f"Using devices: {jax.devices()}")
+    print(f"Found {len(files)} datasets → training {len(files)} models.")
+
+    for fp in files:
+        run_dir = out_root / fp.stem
+        print(f"\n=== Training {fp.name} → {run_dir} ===")
+        train_single_npz(fp, run_dir, **hp)
+
+    print("\nAll models trained. Checkpoints, logs, and synthetic data are under:", out_root)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Tiny end-to-end TimeGAN training (SURVEY.md §4 integration tier)."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eegsynth.models.timegan import TimeGANConfig, adaptive_dims, timegan_init
+from eegsynth.train.checkpoint import load_checkpoint, save_checkpoint
+from eegsynth.train.timegan import _multistep_lr, synthesize, train_single_npz
+
+
+def _make_bucket(tmp_path, n=10, t=32, c=3):
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 1, (n, t, c)).astype(np.float32)
+    fp = tmp_path / "posture1_no_exo.npz"
+    np.savez_compressed(fp, X=X, fs=np.float32(128.0))
+    return fp, X
+
+
+def test_adaptive_dims():
+    assert adaptive_dims(14, 768) == (28, 56)   # ckpt meta parity
+    assert adaptive_dims(14, 900) == (36, 72)
+    assert adaptive_dims(3, 100) == (16, 32)
+
+
+def test_multistep_lr():
+    sched = _multistep_lr(1e-3, (4000, 6000), 0.5)
+    assert float(sched(0)) == 1e-3
+    assert float(sched(3999)) == 1e-3
+    assert float(sched(4000)) == 5e-4
+    assert float(sched(6000)) == 2.5e-4
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = TimeGANConfig(x_dim=3, z_dim=16, h_dim=32)
+    params = timegan_init(jax.random.key(0), cfg)
+    path = tmp_path / "ckpt.npz"
+    save_checkpoint(path, {"model": params}, {"npz": "x.npz", "z_dim": 16, "h_dim": 32})
+    trees, meta = load_checkpoint(path, {"model": params})
+    assert meta["z_dim"] == 16
+    chex_equal = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: np.allclose(a, b), params, trees["model"]))
+    assert chex_equal
+
+
+def test_train_single_npz_end_to_end(tmp_path):
+    fp, X = _make_bucket(tmp_path)
+    out = tmp_path / "run"
+    res = train_single_npz(fp, out, ae_epochs=2, sup_epochs=2, gan_steps=4,
+                           chunk=2, batch_size=4, acf_max_lag=8)
+    # artifacts
+    assert (out / "train_log.csv").exists()
+    assert (out / "ckpt_latest.npz").exists()
+    assert (out / "ckpt_best.npz").exists()
+    synth = np.load(out / "synthetic.npz")["X"]
+    assert synth.shape == X.shape
+    assert np.isfinite(synth).all()
+    # log rows: header + 4 GAN steps, finite losses
+    rows = (out / "train_log.csv").read_text().strip().split("\n")
+    assert rows[0].startswith("step,phase,loss_D")
+    assert len(rows) == 5
+    vals = np.array([r.split(",")[2:] for r in rows[1:]], dtype=np.float64)
+    assert np.isfinite(vals).all()
+    assert res["best_step"] >= 1
+    # best ckpt loads back into the same structure
+    from eegsynth.train.checkpoint import load_checkpoint
+    trees, meta = load_checkpoint(out / "ckpt_best.npz", {"model": res["params"]})
+    assert meta["best"] is True and meta["z_dim"] == res["cfg"].z_dim
+
+
+def test_train_deterministic_with_seed(tmp_path):
+    fp, _ = _make_bucket(tmp_path, n=6, t=16, c=2)
+    r1 = train_single_npz(fp, tmp_path / "a", ae_epochs=1, sup_epochs=1,
+                          gan_steps=2, chunk=2, batch_size=4, acf_max_lag=4)
+    r2 = train_single_npz(fp, tmp_path / "b", ae_epochs=1, sup_epochs=1,
+                          gan_steps=2, chunk=2, batch_size=4, acf_max_lag=4)
+    la = (tmp_path / "a" / "train_log.csv").read_text()
+    lb = (tmp_path / "b" / "train_log.csv").read_text()
+    assert la == lb
+
+
+def test_synthesize_arbitrary_length():
+    cfg = TimeGANConfig(x_dim=3, z_dim=16, h_dim=32)
+    params = timegan_init(jax.random.key(0), cfg)
+    x = synthesize(params, cfg, jax.random.key(1), n=5, seq_len=100)
+    assert x.shape == (5, 100, 3)
+    assert np.isfinite(np.asarray(x)).all()
