@@ -1,0 +1,123 @@
+"""Spectral structure losses for the CGAN generator.
+
+Parity targets: _psd_loss_basic (CGAN/cgan.py:283-289), _coh_loss_basic
+(:291-304) / _coh_loss_random (cgan_v2.py:214-229), _cov_loss_basic (:306-311),
+posture_conditional_losses (:313-332). All pairs/postures batch through one FFT
+instead of per-pair Python loops.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eegsynth.ops.stats import per_sample_channel_cov
+
+FIXED_PAIRS = np.array([(0, 13), (6, 7), (9, 10), (1, 12)])
+"""AF3-AF4, O1-O2, T8-FC6, F7-F8 (cgan.py:320)."""
+
+ALL_PAIRS = np.array(list(itertools.combinations(range(14), 2)))
+"""All C(14,2)=91 channel pairs (cgan_v2.py:27)."""
+
+
+def psd_loss(real: jax.Array, fake: jax.Array) -> jax.Array:
+    """L1 of batch-mean rFFT power (B,C,T) → scalar (cgan.py:283-289)."""
+    Fr = jnp.fft.rfft(real, axis=2)
+    Ff = jnp.fft.rfft(fake, axis=2)
+    P_r = jnp.mean(Fr.real ** 2 + Fr.imag ** 2, axis=0)
+    P_f = jnp.mean(Ff.real ** 2 + Ff.imag ** 2, axis=0)
+    return jnp.mean(jnp.abs(P_f - P_r))
+
+
+def _pair_coherence(x: jax.Array, pairs: jax.Array) -> jax.Array:
+    """Per-sample normalized cross-spectrum magnitude, batch-meaned:
+    mean_B |A·conj(B)| / sqrt(|A|²|B|² + 1e-8) → (P, F). Matches the reference's
+    per-pair ``coh`` (cgan.py:293-298)."""
+    spec = jnp.fft.rfft(x, axis=2)                 # (B, C, F)
+    A = spec[:, pairs[:, 0], :]                    # (B, P, F)
+    Bc = spec[:, pairs[:, 1], :]
+    cross = A * jnp.conj(Bc)
+    num = jnp.sqrt(cross.real ** 2 + cross.imag ** 2)
+    den = jnp.sqrt((A.real ** 2 + A.imag ** 2) * (Bc.real ** 2 + Bc.imag ** 2) + 1e-8)
+    return jnp.mean(num / den, axis=0)
+
+
+def coh_loss(real: jax.Array, fake: jax.Array, pairs) -> jax.Array:
+    """Mean-over-pairs L1 coherence difference (cgan.py:291-304)."""
+    pairs = jnp.asarray(pairs)
+    cr = _pair_coherence(real, pairs)
+    cf = _pair_coherence(fake, pairs)
+    return jnp.mean(jnp.abs(cf - cr))
+
+
+def coh_loss_random(key: jax.Array, real: jax.Array, fake: jax.Array,
+                    num_pairs: int = 24) -> jax.Array:
+    """24 random pairs из all 91 per step (cgan_v2.py:214-229)."""
+    idx = jax.random.permutation(key, len(ALL_PAIRS))[:num_pairs]
+    pairs = jnp.asarray(ALL_PAIRS)[idx]
+    return coh_loss(real, fake, pairs)
+
+
+def cov_loss(real: jax.Array, fake: jax.Array) -> jax.Array:
+    """MSE of batch-mean per-sample channel covariance (cgan.py:306-311)."""
+    return jnp.mean((per_sample_channel_cov(fake) - per_sample_channel_cov(real)) ** 2)
+
+
+def posture_conditional_losses(real: jax.Array, fake: jax.Array, labels: jax.Array,
+                               num_classes: int, psd_w: float, coh_w: float,
+                               cov_w: float) -> jax.Array:
+    """PSD/coh/cov per posture present in the batch, averaged (cgan.py:313-332).
+
+    The reference's data-dependent ``torch.unique`` loop becomes masked
+    segment statistics: per-class weighted means with zero-count classes
+    excluded from the final average — identical math, one compiled graph.
+    """
+    if (psd_w + coh_w + cov_w) == 0:
+        return jnp.float32(0.0)
+    pairs = jnp.asarray(FIXED_PAIRS)
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=real.dtype)  # (B, K)
+    counts = jnp.sum(onehot, axis=0)                                # (K,)
+    present = counts > 0
+
+    def per_class(k):
+        w = onehot[:, k]                                            # (B,)
+        n = jnp.maximum(counts[k], 1.0)
+        wr = w[:, None, None]
+
+        def wmean(v, axis0_weights):
+            # weighted mean over batch with weights w (zero rows drop out)
+            return jnp.sum(v * axis0_weights, axis=0) / n
+
+        # PSD: weighted batch-mean power
+        Fr = jnp.fft.rfft(real, axis=2)
+        Ff = jnp.fft.rfft(fake, axis=2)
+        P_r = wmean(Fr.real ** 2 + Fr.imag ** 2, wr)
+        P_f = wmean(Ff.real ** 2 + Ff.imag ** 2, wr)
+        l = psd_w * jnp.mean(jnp.abs(P_f - P_r))
+
+        # Coherence on the 4 fixed pairs
+        def coh_stat(x):
+            spec = jnp.fft.rfft(x, axis=2)
+            A = spec[:, pairs[:, 0], :]
+            Bc = spec[:, pairs[:, 1], :]
+            cross = A * jnp.conj(Bc)
+            num = jnp.sqrt(cross.real ** 2 + cross.imag ** 2)
+            den = jnp.sqrt((A.real ** 2 + A.imag ** 2)
+                           * (Bc.real ** 2 + Bc.imag ** 2) + 1e-8)
+            return jnp.sum((num / den) * wr, axis=0) / n
+        l = l + coh_w * jnp.mean(jnp.abs(coh_stat(fake) - coh_stat(real)))
+
+        # Covariance
+        def cov_stat(x):
+            xc = x - jnp.mean(x, axis=2, keepdims=True)
+            cov = jnp.einsum("bct,bdt->bcd", xc, xc) / (x.shape[2] - 1)
+            return jnp.sum(cov * wr[:, :, 0:1], axis=0) / n
+        l = l + cov_w * jnp.mean((cov_stat(fake) - cov_stat(real)) ** 2)
+        return l
+
+    losses = jax.vmap(per_class)(jnp.arange(num_classes))
+    n_present = jnp.maximum(jnp.sum(present.astype(real.dtype)), 1.0)
+    return jnp.sum(jnp.where(present, losses, 0.0)) / n_present

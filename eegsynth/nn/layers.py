@@ -25,3 +25,12 @@ def dense_init(key: jax.Array, in_dim: int, out_dim: int, dtype=jnp.float32):
 
 def dense_apply(params, x: jax.Array) -> jax.Array:
     return x @ params["w"].T + params["b"]
+
+
+def torch_dense_init(key: jax.Array, in_dim: int, out_dim: int, dtype=jnp.float32):
+    """torch.nn.Linear default: kaiming_uniform(a=√5) ⇒ weight and bias
+    ~ U(±1/√in_dim)."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    return {"w": jax.random.uniform(kw, (out_dim, in_dim), dtype, -bound, bound),
+            "b": jax.random.uniform(kb, (out_dim,), dtype, -bound, bound)}

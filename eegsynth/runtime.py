@@ -19,6 +19,9 @@ def setup_compilation_cache(path: str | None = None) -> None:
     """Enable JAX's persistent compilation cache (idempotent; env wins)."""
     if jax.config.jax_compilation_cache_dir:
         return
+    platform_cfg = jax.config.jax_platforms or ""
+    if platform_cfg.startswith("cpu"):
+        return  # CPU compiles are fast; caching only pays on the remote TPU path
     cache_dir = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT_CACHE)
     # Partition by platform: executables AOT-compiled for one backend/host-flag
     # set must not be loaded by another (XLA warns of possible SIGILL).

@@ -1,0 +1,433 @@
+"""CGAN training loops — jitted epoch scans for both reference flavors.
+
+- v1 (CGAN/cgan.py:335-515): one model per condition, posture-conditional
+  (9 classes), balanced posture sampling, hinge + ACGAN + R1(every 8) +
+  DiffAugment + feature matching + posture-conditional PSD/coh/cov, EMA,
+  TTUR Adam, per-epoch diagnostics → metrics.csv, checkpoint/best/last saves.
+- v2/v3 (cgan_v2.py:253-364): one model per posture, condition-conditional
+  (2 classes), 50/50 condition sampling, fixed first-256 local crop, 24
+  random coherence pairs, amplitude calibration, pre-warm epochs where G
+  trains on structure/FM/amp only.
+
+TPU design: one device dispatch per epoch — a `lax.scan` over steps carrying
+(G, BN state, Dg, Dl, EMA, both optimizer states, PRNG). Balanced sampling
+runs on device from a padded per-class index table. The reference's AMP-on-D
+is unnecessary on TPU (f32 everywhere; flip `bf16` in hparams for bf16 D).
+Deviation noted: best-EMA saves include the live generator's BN running stats
+(the reference snapshots stale initial buffers into its EMA copy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from eegsynth.data.datasets import (
+    build_label_table, load_condition_dataset, load_posture_both_conditions,
+)
+from eegsynth.losses.augment import diffaugment_1d
+from eegsynth.losses.gan import (
+    amp_calib_loss, cross_entropy, d_hinge, feature_matching, g_hinge,
+)
+from eegsynth.losses.spectral import (
+    coh_loss_random, cov_loss, posture_conditional_losses, psd_loss,
+)
+from eegsynth.models.cgan import (
+    CGANConfig, disc_apply, disc_features, disc_init, generator_apply, generator_init,
+)
+from eegsynth.train import checkpoint as ckpt_io
+
+NUM_POSTURES = 9
+
+
+@dataclasses.dataclass(frozen=True)
+class CGANHParams:
+    """v1 defaults = cgan.py:34-102; v2 overrides noted inline."""
+    epochs: int = 800            # v2: 600
+    prewarm: int = 0             # v2: 5
+    batch_size: int = 64
+    noise_dim: int = 100
+    lr_g: float = 3e-4           # v2: 6e-4
+    lr_d: float = 1e-4           # v2: 8e-5
+    beta1: float = 0.5
+    beta2: float = 0.999
+    d_steps: int = 1
+    proj_scale: float = 0.25     # v2: 0.10
+    acgan_weight: float = 1.5    # v2: 1.25
+    g_acgan_weight: float = 2.0  # v2: 1.5
+    r1_gamma: float = 0.5
+    r1_every: int = 8
+    inst_noise_start: float = 0.20
+    inst_noise_end: float = 0.02  # v2: 0.06
+    use_diffaugment: bool = True
+    diffaugment_p: float = 0.25  # v2: 0.5
+    psd_weight: float = 0.5      # v2: 0.3
+    coh_weight: float = 0.25     # v2: 0.8
+    cov_weight: float = 0.25     # v2: 0.3
+    amp_weight: float = 0.0      # v2: 0.5
+    coh_pairs: int = 24
+    local_crop: int = 256
+    fm_weight: float = 15.0      # v2: 50.0
+    ema: bool = True
+    ema_decay: float = 0.999
+    lr_decay: float = 1.0
+    lr_decay_step: int = 200
+    save_every: int = 100
+    print_every: int = 20
+    seed: int = 42
+    variant: str = "v1"          # "v1" | "v2"
+
+
+V2_OVERRIDES = dict(epochs=600, prewarm=5, lr_g=6e-4, lr_d=8e-5, proj_scale=0.10,
+                    acgan_weight=1.25, g_acgan_weight=1.5, inst_noise_end=0.06,
+                    diffaugment_p=0.5, psd_weight=0.3, coh_weight=0.8,
+                    cov_weight=0.3, amp_weight=0.5, fm_weight=50.0, variant="v2")
+
+
+def _sample_balanced(key, X, y, table, counts, batch: int, variant: str):
+    """On-device balanced batch. v1: uniform class then uniform row within class
+    (cgan.py:143-148). v2: half/half over 2 conditions (cgan_v2.py:106-113).
+    Returns (real (B,C,T), labels (B,) int32 in 0..K-1)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    K = table.shape[0]
+    if variant == "v1":
+        lab = jax.random.randint(k1, (batch,), 0, K)
+    else:
+        half = batch // 2
+        lab = jnp.concatenate([jnp.zeros(half, jnp.int32),
+                               jnp.ones(batch - half, jnp.int32)])
+        lab = jax.random.permutation(k3, lab)
+    u = jax.random.uniform(k2, (batch,))
+    offs = jnp.floor(u * counts[lab]).astype(jnp.int32)
+    idx = table[lab, offs]
+    return X[idx], lab
+
+
+def _crop(key, x, L: int, variant: str):
+    """Local-D input: v1 random crop (cgan.py:150-154), v2 fixed first L
+    (cgan_v2.py:301)."""
+    T = x.shape[2]
+    L = min(L, T)
+    if variant == "v2" or T == L:
+        return x[:, :, :L]
+    start = jax.random.randint(key, (), 0, T - L + 1)
+    return jax.lax.dynamic_slice_in_dim(x, start, L, axis=2)
+
+
+def make_cgan_epoch(cfg: CGANConfig, hp: CGANHParams, optG, optD,
+                    steps_per_epoch: int, prewarm: bool):
+    """One jitted epoch: scan over steps_per_epoch (D step then G step)."""
+    B = hp.batch_size
+
+    def r1_penalty(d_params, x_in, labels):
+        def score_sum(xx):
+            return jnp.sum(disc_apply(d_params, xx, labels, cfg, train=False)[0])
+        g = jax.grad(score_sum)(x_in)
+        return 0.5 * jnp.mean(jnp.sum(g.reshape(g.shape[0], -1) ** 2, axis=1))
+
+    def one_step(carry, step_idx):
+        (G, bn, D, ema, g_state, d_state, X, y_tab, key) = carry
+        table, counts = y_tab
+        key, *ks = jax.random.split(key, 21)  # ks[0..11] D step, ks[12..19] G step
+
+        sigma = sigma_ref[0]  # traced scalar bound below via closure cell
+
+        diag = jnp.zeros((8,))
+        d_loss_out = jnp.float32(0.0)
+
+        if not prewarm:
+            real, labels = _sample_balanced(ks[0], X, None, table, counts, B, hp.variant)
+            z = jax.random.normal(ks[1], (B, hp.noise_dim), jnp.float32)
+            fake, bn = generator_apply(G, bn, z, labels, cfg, train=True)
+            fake = jax.lax.stop_gradient(fake)
+
+            real_in = jnp.clip(real + sigma * jax.random.normal(ks[2], real.shape, real.dtype), 0, 1)
+            fake_in = jnp.clip(fake + sigma * jax.random.normal(ks[3], fake.shape, fake.dtype), 0, 1)
+            if hp.use_diffaugment:
+                real_in = diffaugment_1d(ks[4], real_in, hp.diffaugment_p)
+                fake_in = diffaugment_1d(ks[5], fake_in, hp.diffaugment_p)
+            real_loc = _crop(ks[6], real_in, hp.local_crop, hp.variant)
+            fake_loc = _crop(ks[7], fake_in, hp.local_crop, hp.variant)
+            do_r1 = (step_idx % max(1, hp.r1_every)) == 0
+
+            def d_loss_fn(D):
+                rs_g, rlog_g, _, Dg1 = disc_apply(D["dg"], real_in, labels, cfg,
+                                                  train=True, dropout_key=ks[8])
+                fs_g, flog_g, _, Dg2 = disc_apply(Dg1, fake_in, labels, cfg,
+                                                  train=True, dropout_key=ks[9])
+                rs_l, rlog_l, _, Dl1 = disc_apply(D["dl"], real_loc, labels, cfg,
+                                                  train=True, dropout_key=ks[10])
+                fs_l, flog_l, _, Dl2 = disc_apply(Dl1, fake_loc, labels, cfg,
+                                                  train=True, dropout_key=ks[11])
+                loss = (d_hinge(rs_g, fs_g) + d_hinge(rs_l, fs_l)
+                        + hp.acgan_weight * (cross_entropy(rlog_g, labels)
+                                             + cross_entropy(rlog_l, labels)))
+                if hp.r1_gamma > 0:
+                    r1 = jax.lax.cond(
+                        do_r1,
+                        lambda: r1_penalty(D["dg"], real_in, labels)
+                        + r1_penalty(D["dl"], real_loc, labels),
+                        lambda: jnp.float32(0.0))
+                    loss = loss + hp.r1_gamma * r1
+                diag = jnp.stack([
+                    jnp.mean((rs_g > 0).astype(jnp.float32)),
+                    jnp.mean((fs_g < 0).astype(jnp.float32)),
+                    jnp.mean((rs_l > 0).astype(jnp.float32)),
+                    jnp.mean((fs_l < 0).astype(jnp.float32)),
+                    jnp.mean((jnp.argmax(rlog_g, 1) == labels).astype(jnp.float32)),
+                    jnp.mean((jnp.argmax(flog_g, 1) == labels).astype(jnp.float32)),
+                    jnp.mean((jnp.argmax(rlog_l, 1) == labels).astype(jnp.float32)),
+                    jnp.mean((jnp.argmax(flog_l, 1) == labels).astype(jnp.float32)),
+                ])
+                u_new = {"dg": Dg2, "dl": Dl2}
+                return loss, (diag, u_new)
+
+            (d_loss_out, (diag, u_new)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(D)
+            d_updates, d_state = optD.update(d_grads, d_state, D)
+            D = optax.apply_updates(D, d_updates)
+            # write back advanced power-iteration vectors
+            D = jax.tree_util.tree_map(lambda a: a, D)
+            for name in ("dg", "dl"):
+                for lyr in ("c1", "c2", "c3", "c4", "c5", "fc", "cls"):
+                    D[name][lyr] = {**D[name][lyr], "u": u_new[name][lyr]["u"]}
+
+        # ---------------- G step (fp32, cgan.py:445-474) ----------------
+        real_g, labels_g = _sample_balanced(ks[12], X, None, table, counts, B, hp.variant)
+        z2 = jax.random.normal(ks[13], (B, hp.noise_dim), jnp.float32)
+
+        def g_loss_fn(G):
+            fake2, bn_new = generator_apply(G, bn, z2, labels_g, cfg, train=True)
+            fake2_in = jnp.clip(fake2 + sigma * jax.random.normal(ks[14], fake2.shape, fake2.dtype), 0, 1)
+            if hp.use_diffaugment:
+                fake2_in = diffaugment_1d(ks[15], fake2_in, hp.diffaugment_p)
+            gs_g, glog_g, ffeat, Dg1 = disc_apply(D["dg"], fake2_in, labels_g, cfg,
+                                                  train=True, dropout_key=ks[17])
+            fake2_loc = _crop(ks[16], fake2_in, hp.local_crop, hp.variant)
+            gs_l, glog_l, _, Dl1 = disc_apply(D["dl"], fake2_loc, labels_g, cfg,
+                                              train=True, dropout_key=ks[18])
+            loss = jnp.float32(0.0)
+            if not prewarm:
+                loss = (g_hinge(gs_g) + g_hinge(gs_l)
+                        + hp.g_acgan_weight * (cross_entropy(glog_g, labels_g)
+                                               + cross_entropy(glog_l, labels_g)))
+            rfeat, _ = disc_features(D["dg"], real_g, train=False)
+            loss = loss + hp.fm_weight * feature_matching(ffeat, rfeat)
+            if hp.variant == "v1":
+                loss = loss + posture_conditional_losses(
+                    real_g, fake2, labels_g, cfg.num_classes,
+                    hp.psd_weight, hp.coh_weight, hp.cov_weight)
+            else:
+                loss = loss + hp.psd_weight * psd_loss(real_g, fake2)
+                loss = loss + hp.coh_weight * coh_loss_random(ks[19], real_g, fake2,
+                                                              hp.coh_pairs)
+                loss = loss + hp.cov_weight * cov_loss(real_g, fake2)
+                loss = loss + hp.amp_weight * amp_calib_loss(real_g, fake2)
+            return loss, (bn_new, {"dg": Dg1, "dl": Dl1})
+
+        (g_loss_out, (bn, u_new2)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(G)
+        g_updates, g_state = optG.update(g_grads, g_state, G)
+        G = optax.apply_updates(G, g_updates)
+        for name in ("dg", "dl"):
+            for lyr in ("c1", "c2", "c3", "c4", "c5", "fc", "cls"):
+                D[name][lyr] = {**D[name][lyr], "u": u_new2[name][lyr]["u"]}
+
+        if hp.ema:
+            ema = jax.tree_util.tree_map(
+                lambda e, g: hp.ema_decay * e + (1.0 - hp.ema_decay) * g, ema, G)
+
+        return (G, bn, D, ema, g_state, d_state, X, y_tab, key), \
+            jnp.concatenate([diag, jnp.stack([g_loss_out, d_loss_out])])
+
+    sigma_ref = [None]
+
+    @jax.jit
+    def epoch_fn(G, bn, D, ema, g_state, d_state, X, table, counts, sigma, key):
+        sigma_ref[0] = sigma
+        carry = (G, bn, D, ema, g_state, d_state, X, (table, counts), key)
+        carry, logs = jax.lax.scan(one_step, carry,
+                                   jnp.arange(steps_per_epoch, dtype=jnp.int32))
+        (G, bn, D, ema, g_state, d_state, _, _, _) = carry
+        return G, bn, D, ema, g_state, d_state, logs
+
+    return epoch_fn
+
+
+# ------------------------------------------------------------------
+# Drivers
+# ------------------------------------------------------------------
+
+METRICS_HEADER_V1 = ("epoch,g_loss,d_loss,d_g_real_acc,d_g_fake_acc,d_l_real_acc,"
+                     "d_l_fake_acc,acgan_real_global,acgan_fake_global,"
+                     "acgan_real_local,acgan_fake_local\n")
+METRICS_HEADER_V2 = ("epoch,g_loss,d_loss,Dg_R,Dg_F,Dl_R,Dl_F,ACg_R,ACg_F,ACl_R,ACl_F\n")
+
+
+def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
+                tag: str, label_base: int, resume: str = "", log=print) -> dict:
+    """Shared driver: tag is '{condition}' (v1) or 'posture{p}' (v2)."""
+    save_dir.mkdir(parents=True, exist_ok=True)
+    with open(save_dir / "hparams.json", "w") as f:
+        json.dump({**dataclasses.asdict(hp), "tag": tag}, f, indent=2)
+
+    key = jax.random.key(hp.seed)
+    kG, kDg, kDl, key = jax.random.split(key, 4)
+    G, bn = generator_init(kG, cfg)
+    D = {"dg": disc_init(kDg, cfg), "dl": disc_init(kDl, cfg)}
+    ema = jax.tree_util.tree_map(lambda a: a, G)
+
+    steps_for_sched = max(1, X_np.shape[0] // hp.batch_size)
+
+    def _lr(base):
+        if hp.lr_decay >= 1.0:
+            return base
+        # torch StepLR stepped once per epoch (cgan.py:348-349,476)
+        return lambda count: base * hp.lr_decay ** (
+            (count // steps_for_sched) // hp.lr_decay_step)
+
+    optG = optax.adam(_lr(hp.lr_g), b1=hp.beta1, b2=hp.beta2)
+    optD = optax.adam(_lr(hp.lr_d), b1=hp.beta1, b2=hp.beta2)
+    g_state = optG.init(G)
+    d_state = optD.init(D)
+
+    start_epoch = 0
+    best_g = float("inf")
+    if resume:
+        trees, meta = ckpt_io.load_checkpoint(resume, {
+            "G": G, "bn": bn, "D": D, "ema": ema, "optG": g_state, "optD": d_state})
+        G, bn, D, ema = trees["G"], trees["bn"], trees["D"], trees["ema"]
+        g_state, d_state = trees["optG"], trees["optD"]
+        start_epoch = int(meta.get("epoch", 0))
+        best_g = float(meta.get("g_loss", best_g))
+        log(f"[{tag}] Resumed from {resume} @ epoch {start_epoch}")
+
+    table_np, counts_np = build_label_table(y_np, cfg.num_classes, label_base)
+    X = jnp.asarray(X_np)
+    table = jnp.asarray(table_np)
+    counts = jnp.asarray(counts_np, dtype=jnp.float32)
+
+    steps = max(1, X_np.shape[0] // hp.batch_size)
+    total_epochs = hp.prewarm + hp.epochs
+    log(f"[{tag}] Training {total_epochs} epochs, steps/epoch ≈ {steps}")
+
+    metrics_csv = save_dir / "metrics.csv"
+    if not metrics_csv.exists():
+        metrics_csv.write_text(METRICS_HEADER_V2 if hp.variant == "v2"
+                               else METRICS_HEADER_V1)
+
+    epoch_fns = {
+        False: make_cgan_epoch(cfg, hp, optG, optD, steps, prewarm=False),
+        True: (make_cgan_epoch(cfg, hp, optG, optD, steps, prewarm=True)
+               if hp.prewarm > 0 else None),
+    }
+
+    def save_generator(path, params, bn_state):
+        ckpt_io.save_checkpoint(path, {"model": params, "bn": bn_state},
+                                {"tag": tag, "variant": hp.variant,
+                                 "num_classes": cfg.num_classes,
+                                 "noise_dim": hp.noise_dim})
+
+    # Best artifacts are tracked as device references and written to disk only
+    # at save_every boundaries and at the end — device→host pulls through the
+    # remote TPU attachment cost seconds per tree, so a per-epoch best-write
+    # (the reference's behavior, cgan.py:508-512) would dominate the epoch.
+    pending_best = None
+
+    def flush_best():
+        nonlocal pending_best
+        if pending_best is None:
+            return
+        bG, bbn, bDg, bDl = pending_best
+        save_generator(save_dir / f"CGAN_generator_{tag}_best.npz", bG, bbn)
+        ckpt_io.save_checkpoint(save_dir / f"CGAN_globalD_{tag}_best.npz",
+                                {"model": bDg}, {"tag": tag})
+        ckpt_io.save_checkpoint(save_dir / f"CGAN_localD_{tag}_best.npz",
+                                {"model": bDl}, {"tag": tag})
+        pending_best = None
+
+    t0 = time.perf_counter()
+    g_loss = d_loss = float("nan")
+    for ep in range(start_epoch, total_epochs):
+        prewarm = ep < hp.prewarm
+        t = ep / max(1, total_epochs - 1)
+        sigma = (1 - t) * hp.inst_noise_start + t * hp.inst_noise_end
+        key, sub = jax.random.split(key)
+        G, bn, D, ema, g_state, d_state, logs = epoch_fns[prewarm](
+            G, bn, D, ema, g_state, d_state, X, table, counts,
+            jnp.float32(sigma), sub)
+        logs = np.asarray(logs)                      # (steps, 10)
+        diag = logs[:, :8].mean(axis=0)
+        g_loss, d_loss = float(logs[-1, 8]), float(logs[-1, 9])
+
+        if (ep + 1) % hp.print_every == 0 or ep == 0:
+            log(f"[{tag}] Ep {ep+1}/{total_epochs} | D={d_loss:.4f} G={g_loss:.4f} | "
+                f"Dg(R/F)={diag[0]:.2f}/{diag[1]:.2f} Dl(R/F)={diag[2]:.2f}/{diag[3]:.2f} | "
+                f"ACGAN G(R/F)={diag[4]:.2f}/{diag[5]:.2f} L(R/F)={diag[6]:.2f}/{diag[7]:.2f}")
+
+        with open(metrics_csv, "a") as f:
+            f.write(f"{ep+1},{g_loss},{d_loss}," + ",".join(f"{v}" for v in diag) + "\n")
+
+        if (ep + 1) % hp.save_every == 0:
+            ckpt_io.save_checkpoint(
+                save_dir / f"checkpoint_epoch{ep+1}.npz",
+                {"G": G, "bn": bn, "D": D, "ema": ema, "optG": g_state, "optD": d_state},
+                {"epoch": ep + 1, "g_loss": g_loss, "d_loss": d_loss, "tag": tag})
+            save_generator(save_dir / f"CGAN_generator_{tag}_epoch{ep+1}.npz", G, bn)
+            flush_best()
+
+        if not prewarm and g_loss < best_g:
+            best_g = g_loss
+            # jax arrays are immutable; holding references defers the transfer
+            pending_best = (ema if hp.ema else G, bn, D["dg"], D["dl"])
+
+    flush_best()
+    save_generator(save_dir / f"CGAN_generator_{tag}_last.npz",
+                   ema if hp.ema else G, bn)
+    dt = time.perf_counter() - t0
+    sps = (total_epochs - start_epoch) * steps / dt if dt > 0 else float("nan")
+    log(f"[{tag}] Done. Best G loss: {best_g:.4f} ({sps:.2f} steps/s)")
+    return {"best_g": best_g, "steps_per_sec": sps, "G": G, "bn": bn,
+            "ema": ema, "D": D, "cfg": cfg}
+
+
+def train_one_condition(data_dir, save_root, condition: str, log=print,
+                        resume: str = "", **hparams) -> dict:
+    """v1 entry (cgan.py:335-515): posture-conditional model for one condition."""
+    hp = CGANHParams(**{"variant": "v1", **hparams})
+    np.random.seed(hp.seed)
+    X, y, meta = load_condition_dataset(data_dir, condition)
+    cfg = CGANConfig(noise_dim=hp.noise_dim, num_classes=NUM_POSTURES,
+                     proj_scale=hp.proj_scale, variant="v1")
+    res = _train_cgan(X, y, cfg, hp, Path(save_root) / condition, condition,
+                      label_base=1, resume=resume, log=log)
+    res["meta"] = meta
+    return res
+
+
+def train_one_posture(data_dir, runs_root, posture: int, log=print, **hparams) -> dict:
+    """v2 entry (cgan_v2.py:253-364): condition-conditional model per posture."""
+    hp = CGANHParams(**{**V2_OVERRIDES, **hparams, "variant": "v2"})
+    np.random.seed(hp.seed)
+    X, y, meta = load_posture_both_conditions(data_dir, posture)
+    cfg = CGANConfig(noise_dim=hp.noise_dim, num_classes=2,
+                     proj_scale=hp.proj_scale, variant="v2")
+    res = _train_cgan(X, y, cfg, hp, Path(runs_root) / f"posture{posture}",
+                      f"posture{posture}", label_base=0, log=log)
+    res["meta"] = meta
+    return res
+
+
+def generate_batch(G, bn, cfg: CGANConfig, key, n: int, label: int):
+    """n samples of one class from N(0,1) noise, eval-mode BN (cgan.py:531-535)."""
+    z = jax.random.normal(key, (n, cfg.noise_dim))
+    labels = jnp.full((n,), label, jnp.int32)
+    x, _ = generator_apply(G, bn, z, labels, cfg, train=False)
+    return x

@@ -1,0 +1,180 @@
+"""PCA / t-SNE cluster visualization family.
+
+Rebuild of timeGAN/visualization*.py (5 variants, ~1.1 kLoC) and the CGAN twins
+(CGAN/visualization_v2.py, visualization_36_clusters_zoom.py) as one
+parameterized module:
+
+- flatten → winsorize 0.5–99.5% quantiles → z-score (visualization.py:50-60)
+- PCA-2D everywhere; PCA-``pca_keep``→t-SNE on a balanced ≤``tsne_max``
+  subsample (visualization.py:62-76,160-170)
+- 36-color (posture × condition × domain) or 18-color (posture × condition)
+  HSV palettes; real='o', gen='x' markers (visualization.py:79-104)
+- compact in-figure legend, optional separate legend PNG
+  (visualization_with_legends.py capability)
+- per-(posture, condition) zoom figures preserving global colors
+  (visualization_v2.py / visualization_36_clusters_zoom.py capability)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def winsorize(X: np.ndarray, lo: float = 0.005, hi: float = 0.995) -> np.ndarray:
+    low = np.quantile(X, lo, axis=0)
+    high = np.quantile(X, hi, axis=0)
+    return np.clip(X, low, high)
+
+
+def zscore(X: np.ndarray) -> np.ndarray:
+    from sklearn.preprocessing import StandardScaler
+    return StandardScaler().fit_transform(X)
+
+
+def balanced_subsample(X, P, D, C, max_total: int = 6000, seed: int = 0):
+    """Per-(posture, condition, domain) balanced cap (visualization.py:62-76)."""
+    if len(X) <= max_total:
+        return X, P, D, C
+    rng = np.random.RandomState(seed)
+    idxs = []
+    posts = np.unique(P)
+    for p in posts:
+        for c in ("with_exo", "no_exo"):
+            for d in (1, 0):
+                m = (P == p) & (C == c) & (D == d)
+                if not np.any(m):
+                    continue
+                take = min(max_total // (len(posts) * 2 * 2), m.sum())
+                idxs.append(rng.choice(np.where(m)[0], size=take, replace=False))
+    idx = np.concatenate(idxs) if idxs else np.arange(len(X))
+    return X[idx], P[idx], D[idx], C[idx]
+
+
+def make_palette(n: int, cmap_name: str = "hsv"):
+    import matplotlib
+    cmap = matplotlib.colormaps.get_cmap(cmap_name).resampled(n)
+    return [cmap(i) for i in range(n)]
+
+
+def cluster_id(posture: int, cond: str, domain: int, color_scheme: str = "36") -> int:
+    """36: unique color per posture×cond×domain; 18: per posture×cond
+    (visualization.py:85-93)."""
+    p = posture - 1
+    c = 0 if cond == "with_exo" else 1
+    if color_scheme == "36":
+        return p * 4 + c * 2 + (0 if domain == 1 else 1)
+    return p * 2 + c
+
+
+def scatter_clusters(ax, emb, P, D, C, colors, color_scheme: str = "36",
+                     point_size: float = 9):
+    for p in np.unique(P):
+        for c in ("with_exo", "no_exo"):
+            for d in (1, 0):
+                m = (P == p) & (C == c) & (D == d)
+                if not np.any(m):
+                    continue
+                gid = cluster_id(p, c, d, color_scheme)
+                label = f"P{p} {'W' if c == 'with_exo' else 'N'} {'R' if d == 1 else 'G'}"
+                ax.scatter(emb[m, 0], emb[m, 1], s=point_size, alpha=0.8,
+                           marker=("o" if d == 1 else "x"), c=[colors[gid]],
+                           label=label)
+
+
+def _compact_legend(ax, ncols=3, fontsize=5.2):
+    return ax.legend(bbox_to_anchor=(1.02, 1), loc="upper left", ncol=ncols,
+                     fontsize=fontsize, frameon=False, borderaxespad=0.0,
+                     columnspacing=0.7, handlelength=1.2, handletextpad=0.3,
+                     markerscale=0.9)
+
+
+def save_legend_png(handles_labels, out_path, ncols=4):
+    """Separate legend figure (visualization_with_legends.py capability)."""
+    plt = _plt()
+    handles, labels = handles_labels
+    fig = plt.figure(figsize=(8, max(2, len(labels) / (ncols * 4))))
+    fig.legend(handles, labels, loc="center", ncol=ncols, fontsize=7,
+               frameon=False)
+    fig.savefig(out_path, dpi=170, bbox_inches="tight")
+    plt.close(fig)
+
+
+def cluster_figures(pairs: dict, out_dir, color_scheme: str = "36", seed: int = 0,
+                    tsne_perplexity: float = 30.0, tsne_max: int = 6000,
+                    pca_keep: int = 50, winsor_low: float = 0.005,
+                    winsor_high: float = 0.995, zooms: bool = False,
+                    separate_legend: bool = False) -> None:
+    """Full cluster-figure pass over {(posture, cond): (real, fake)} pairs.
+
+    Writes pca_combined.png + tsne_combined.png, optional per-cluster zoom
+    figures (global colors preserved) and separate legend PNGs.
+    """
+    plt = _plt()
+    from sklearn.decomposition import PCA
+    from sklearn.manifold import TSNE
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    X_blocks, P, D, C = [], [], [], []
+    for (p, c), (r, f) in sorted(pairs.items()):
+        X_blocks.append(np.concatenate([r, f], axis=0))
+        P += [p] * (len(r) + len(f))
+        D += [1] * len(r) + [0] * len(f)
+        C += [c] * (len(r) + len(f))
+    P, D, C = np.array(P), np.array(D), np.array(C)
+
+    X = np.concatenate(X_blocks, axis=0).reshape(len(P), -1)
+    X = zscore(winsorize(X, winsor_low, winsor_high))
+
+    n_colors = 36 if color_scheme == "36" else 18
+    colors = make_palette(n_colors)
+
+    def one_plot(emb, Pm, Dm, Cm, name, title):
+        fig, ax = plt.subplots(figsize=(8.6, 5.8))
+        scatter_clusters(ax, emb, Pm, Dm, Cm, colors, color_scheme)
+        ax.set_title(title)
+        ax.set_xlabel("Dim 1")
+        ax.set_ylabel("Dim 2")
+        fig.subplots_adjust(right=0.78)
+        if separate_legend:
+            save_legend_png(ax.get_legend_handles_labels(),
+                            out_dir / f"{name}_legend.png")
+        else:
+            _compact_legend(ax)
+        fig.savefig(out_dir / f"{name}.png", dpi=170)
+        plt.close(fig)
+        if zooms:
+            for p in np.unique(Pm):
+                for c in ("with_exo", "no_exo"):
+                    m = (Pm == p) & (Cm == c)
+                    if not np.any(m):
+                        continue
+                    figz, axz = plt.subplots(figsize=(5.5, 4.2))
+                    scatter_clusters(axz, emb[m], Pm[m], Dm[m], Cm[m], colors,
+                                     color_scheme, point_size=14)
+                    axz.set_title(f"{title} — zoom P{p} {c}")
+                    axz.legend(fontsize=7, frameon=False)
+                    figz.savefig(out_dir / f"{name}_zoom_p{p}_{c}.png", dpi=170)
+                    plt.close(figz)
+
+    pca2 = PCA(n_components=2, random_state=seed).fit_transform(X)
+    one_plot(pca2, P, D, C, "pca_combined",
+             "Combined PCA: Posture×Condition (● Real, × Gen)")
+
+    Xb, Pb, Db, Cb = balanced_subsample(X, P, D, C, max_total=tsne_max, seed=seed)
+    K = min(pca_keep, Xb.shape[1])
+    Xred = PCA(n_components=K, random_state=seed).fit_transform(Xb)
+    ts2 = TSNE(n_components=2, perplexity=tsne_perplexity, init="pca",
+               random_state=seed).fit_transform(Xred)
+    one_plot(ts2, Pb, Db, Cb, "tsne_combined",
+             "Combined t-SNE: Posture×Condition (● Real, × Gen)")

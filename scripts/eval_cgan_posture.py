@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Evaluate the v2/v3 posture-specialist CGANs (CGAN/eval_cgan_v2.py /
+eval_cgan_v3.py contract): per-posture CSV trio + global/ trio + scatters.
+
+The reference versions are edit-the-constants scripts; this exposes the same
+knobs as flags with the reference defaults (SAMPLES_PER_COND='match')."""
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    ap.add_argument("--data-dir", type=str, default="./preprocessed")
+    ap.add_argument("--runs-root", type=str, default="./cgan_runs_posture")
+    ap.add_argument("--save-root", type=str, default="./cgan_eval_posture")
+    ap.add_argument("--postures", type=str, default="all")
+    ap.add_argument("--samples-per-cond", type=str, default="match")
+    ap.add_argument("--noise-dim", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=123)
+    args = ap.parse_args()
+
+    import jax
+    from eegsynth.data.datasets import load_posture_both_conditions
+    from eegsynth.eval.cgan_eval import (
+        discriminative_metrics, predictive_scores, scatter_plots, stats_similarity,
+    )
+    from eegsynth.models.cgan import CGANConfig, generator_init
+    from eegsynth.train.cgan import generate_batch
+    from eegsynth.train.checkpoint import load_checkpoint
+
+    np.random.seed(args.seed)
+    postures = (range(1, 10) if args.postures == "all"
+                else [int(p) for p in args.postures.split(",")])
+    save_root = Path(args.save_root)
+    save_root.mkdir(parents=True, exist_ok=True)
+
+    cfg = CGANConfig(noise_dim=args.noise_dim, num_classes=2, proj_scale=0.10,
+                     variant="v2")
+    template, bn_template = generator_init(jax.random.key(0), cfg)
+
+    Xr_glob, Xg_glob, yp_glob_r, yp_glob_g = [], [], [], []
+    key = jax.random.key(args.seed)
+    for p in postures:
+        X, y, meta = load_posture_both_conditions(args.data_dir, p)
+        real = {c: X[y == c] for c in (0, 1)}
+
+        run_dir = Path(args.runs_root) / f"posture{p}"
+        gpath = run_dir / f"CGAN_generator_posture{p}_best.npz"
+        if not gpath.exists():
+            gpath = run_dir / f"CGAN_generator_posture{p}_last.npz"
+        if not gpath.exists():
+            print(f"[posture {p}] no generator found under {run_dir}; skipping")
+            continue
+        trees, _ = load_checkpoint(gpath, {"model": template, "bn": bn_template})
+        G, bn = trees["model"], trees["bn"]
+
+        if args.samples_per_cond.lower() == "match":
+            n_synth = min(real[0].shape[0], real[1].shape[0])
+        else:
+            n_synth = int(args.samples_per_cond)
+        fakes = {}
+        for c in (0, 1):
+            key, sub = jax.random.split(key)
+            fakes[c] = np.asarray(generate_batch(G, bn, cfg, sub, n_synth, c))
+
+        n = min(real[0].shape[0], real[1].shape[0], n_synth)
+        R = np.concatenate([real[0][:n], real[1][:n]], 0)
+        Gx = np.concatenate([fakes[0][:n], fakes[1][:n]], 0)
+        yr = np.full(len(R), p, np.int64)
+        yg = np.full(len(Gx), p, np.int64)
+
+        out_p = save_root / f"posture{p}"
+        out_p.mkdir(parents=True, exist_ok=True)
+        discriminative_metrics(R, Gx, yr, yg, out_p / "metrics_discriminative.csv",
+                               args.seed)
+        predictive_scores(R, Gx, yr, yg, out_p / "metrics_predictive.csv",
+                          seed=args.seed)
+        stats_similarity(R, Gx, yr, yg, out_p / "metrics_stats.csv")
+        print(f"[posture {p}] evaluated ({len(R)} real / {len(Gx)} gen)")
+
+        Xr_glob.append(R)
+        Xg_glob.append(Gx)
+        yp_glob_r.append(yr)
+        yp_glob_g.append(yg)
+
+    if Xr_glob:
+        Xr_all = np.concatenate(Xr_glob)
+        Xg_all = np.concatenate(Xg_glob)
+        yr_all = np.concatenate(yp_glob_r)
+        yg_all = np.concatenate(yp_glob_g)
+        out_g = save_root / "global"
+        out_g.mkdir(parents=True, exist_ok=True)
+        discriminative_metrics(Xr_all, Xg_all, yr_all, yg_all,
+                               out_g / "metrics_discriminative.csv", args.seed)
+        predictive_scores(Xr_all, Xg_all, yr_all, yg_all,
+                          out_g / "metrics_predictive.csv", seed=args.seed)
+        stats_similarity(Xr_all, Xg_all, yr_all, yg_all, out_g / "metrics_stats.csv")
+        scatter_plots(Xr_all, Xg_all, yr_all, yg_all, out_g, seed=args.seed)
+        print(f"Saved all evaluations under: {save_root}")
+
+
+if __name__ == "__main__":
+    main()

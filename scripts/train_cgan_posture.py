@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Conditional GAN (v2/v3): 9 posture-specialist models, condition-conditional.
+
+CLI parity with CGAN/cgan_v2.py:29-73 / cgan_v3.py (same contract).
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+HP_FLAGS = {
+    "epochs": int, "prewarm": int, "batch_size": int, "noise_dim": int,
+    "lr_g": float, "lr_d": float, "beta1": float, "beta2": float,
+    "d_steps": int, "proj_scale": float, "r1_gamma": float, "r1_every": int,
+    "inst_noise_start": float, "inst_noise_end": float, "diffaugment_p": float,
+    "acgan_weight": float, "g_acgan_weight": float, "fm_weight": float,
+    "psd_weight": float, "coh_weight": float, "cov_weight": float,
+    "amp_weight": float, "coh_pairs": int, "ema_decay": float,
+    "save_every": int, "seed": int,
+}
+
+
+def main():
+    p = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--data-dir", type=str, default="./preprocessed")
+    p.add_argument("--runs-root", type=str, default="./cgan_runs_posture")
+    for k, typ in HP_FLAGS.items():
+        p.add_argument(f"--{k.replace('_', '-')}", dest=k, type=typ, default=None)
+    p.add_argument("--posture", type=str, default="all", help="'all' or an int 1..9")
+    args = p.parse_args()
+
+    hp = {k: getattr(args, k) for k in HP_FLAGS if getattr(args, k) is not None}
+
+    from eegsynth.train.cgan import train_one_posture
+    postures = range(1, 10) if args.posture == "all" else [int(args.posture)]
+    for posture in postures:
+        train_one_posture(args.data_dir, args.runs_root, posture, **hp)
+
+
+if __name__ == "__main__":
+    main()

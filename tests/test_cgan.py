@@ -1,0 +1,166 @@
+"""CGAN model shapes, loss oracles, DiffAugment behavior, tiny end-to-end train."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as TF
+
+from eegsynth.losses.augment import diffaugment_1d
+from eegsynth.losses.gan import amp_calib_loss, cross_entropy, d_hinge, g_hinge
+from eegsynth.losses.spectral import (
+    FIXED_PAIRS, coh_loss, cov_loss, posture_conditional_losses, psd_loss,
+)
+from eegsynth.models.cgan import (
+    CGANConfig, disc_apply, disc_init, generator_apply, generator_init,
+)
+
+
+def test_generator_shapes():
+    cfg = CGANConfig(num_classes=9)
+    G, bn = generator_init(jax.random.key(0), cfg)
+    z = jnp.zeros((4, 100))
+    labels = jnp.array([0, 3, 8, 1])
+    x, bn2 = generator_apply(G, bn, z, labels, cfg, train=True)
+    assert x.shape == (4, 14, 768)
+    assert float(jnp.min(x)) >= 0.0 and float(jnp.max(x)) <= 1.0
+    # BN state advanced
+    assert not np.allclose(np.asarray(bn2["up1"]["mean"]), 0.0)
+
+
+def test_discriminator_shapes():
+    cfg = CGANConfig(num_classes=9)
+    D = disc_init(jax.random.key(1), cfg)
+    x = jnp.zeros((4, 14, 768))
+    labels = jnp.array([0, 1, 2, 3])
+    score, logits, f, D2 = disc_apply(D, x, labels, cfg, train=True)
+    assert score.shape == (4, 1) and logits.shape == (4, 9) and f.shape == (4, 512)
+    # works on 256-crop too (local D)
+    score_l, _, _, _ = disc_apply(D, x[:, :, :256], labels, cfg, train=True)
+    assert score_l.shape == (4, 1)
+
+
+def test_hinge_and_ce_match_torch(rng):
+    rs = rng.standard_normal((8, 1)).astype(np.float32)
+    fs = rng.standard_normal((8, 1)).astype(np.float32)
+    ref_d = (TF.relu(1 - torch.tensor(rs)) + TF.relu(1 + torch.tensor(fs))).mean().item()
+    np.testing.assert_allclose(float(d_hinge(rs, fs)), ref_d, rtol=1e-6)
+    np.testing.assert_allclose(float(g_hinge(fs)), -fs.mean(), rtol=1e-6)
+
+    logits = rng.standard_normal((8, 9)).astype(np.float32)
+    labels = rng.integers(0, 9, 8)
+    ref_ce = torch.nn.CrossEntropyLoss()(torch.tensor(logits),
+                                         torch.tensor(labels)).item()
+    np.testing.assert_allclose(float(cross_entropy(logits, jnp.asarray(labels))),
+                               ref_ce, rtol=1e-5)
+
+
+def test_structure_losses_match_torch(rng):
+    real = rng.uniform(0, 1, (6, 14, 64)).astype(np.float32)
+    fake = rng.uniform(0, 1, (6, 14, 64)).astype(np.float32)
+    tr, tf_ = torch.tensor(real), torch.tensor(fake)
+
+    Fr, Ff = torch.fft.rfft(tr, dim=2), torch.fft.rfft(tf_, dim=2)
+    ref_psd = TF.l1_loss((Ff.real**2 + Ff.imag**2).mean(0),
+                         (Fr.real**2 + Fr.imag**2).mean(0)).item()
+    np.testing.assert_allclose(float(psd_loss(real, fake)), ref_psd, rtol=1e-4)
+
+    def coh(a, b):
+        A, B = torch.fft.rfft(a, dim=2), torch.fft.rfft(b, dim=2)
+        num = torch.sqrt((A * torch.conj(B)).real**2 + (A * torch.conj(B)).imag**2)
+        den = torch.sqrt((A.real**2 + A.imag**2) * (B.real**2 + B.imag**2) + 1e-8)
+        return (num / den).mean(0)
+    ref_coh = np.mean([TF.l1_loss(coh(tf_[:, i:i+1], tf_[:, j:j+1]),
+                                  coh(tr[:, i:i+1], tr[:, j:j+1])).item()
+                       for i, j in FIXED_PAIRS])
+    # the L1-of-coherence statistic is cancellation-dominated in f32; allow a
+    # tiny absolute slack on top of rtol
+    np.testing.assert_allclose(float(coh_loss(real, fake, FIXED_PAIRS)), ref_coh,
+                               rtol=1e-2, atol=1e-8)
+
+    def covmat(x):
+        x = x - x.mean(dim=2, keepdim=True)
+        return (torch.matmul(x, x.transpose(1, 2)) / (x.size(2) - 1)).mean(0)
+    ref_cov = TF.mse_loss(covmat(tf_), covmat(tr)).item()
+    np.testing.assert_allclose(float(cov_loss(real, fake)), ref_cov, rtol=1e-4)
+
+    mu_r, mu_f = tr.mean((0, 2)), tf_.mean((0, 2))
+    sd_r, sd_f = tr.std((0, 2)), tf_.std((0, 2))
+    ref_amp = (TF.l1_loss(mu_f, mu_r) + TF.l1_loss(sd_f, sd_r)).item()
+    np.testing.assert_allclose(float(amp_calib_loss(real, fake)), ref_amp, rtol=1e-4)
+
+
+def test_posture_conditional_losses_match_subset_math(rng):
+    """Masked segment formulation == explicit per-class subsetting."""
+    real = rng.uniform(0, 1, (8, 14, 32)).astype(np.float32)
+    fake = rng.uniform(0, 1, (8, 14, 32)).astype(np.float32)
+    labels = np.array([0, 0, 2, 2, 2, 5, 5, 5])
+    got = float(posture_conditional_losses(real, fake, jnp.asarray(labels), 9,
+                                           0.5, 0.25, 0.25))
+    refs = []
+    for lab in np.unique(labels):
+        m = labels == lab
+        r, f = real[m], fake[m]
+        val = (0.5 * float(psd_loss(r, f))
+               + 0.25 * float(coh_loss(r, f, FIXED_PAIRS))
+               + 0.25 * float(cov_loss(r, f)))
+        refs.append(val)
+    np.testing.assert_allclose(got, np.mean(refs), rtol=1e-4)
+
+
+def test_diffaugment_properties(rng):
+    x = rng.uniform(0, 1, (8, 14, 768)).astype(np.float32)
+    # p=0: identity
+    out = np.asarray(diffaugment_1d(jax.random.key(0), x, p=0.0))
+    np.testing.assert_allclose(out, x)
+    # p=1: all three branches applied; output stays in [0,1]; cutout zeros ~5%
+    out = np.asarray(diffaugment_1d(jax.random.key(1), x, p=1.0))
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert out.shape == x.shape
+    frac_zero_cols = np.mean((out == 0).all(axis=1))
+    assert 0.02 < frac_zero_cols < 0.08  # ≈5% time cutout
+
+
+@pytest.mark.parametrize("variant", ["v1", "v2"])
+def test_cgan_tiny_end_to_end(tmp_path, variant):
+    from eegsynth.train.cgan import train_one_condition, train_one_posture
+
+    rng = np.random.default_rng(0)
+    data_dir = tmp_path / "prep"
+    data_dir.mkdir()
+    for p in range(1, 10) if variant == "v1" else [1]:
+        for cond in ("no_exo", "with_exo"):
+            X = rng.uniform(0, 1, (6, 768, 14)).astype(np.float32)
+            np.savez_compressed(data_dir / f"posture{p}_{cond}.npz", X=X,
+                                posture=np.int32(p), condition=cond,
+                                fs=np.float32(128.0),
+                                ch_names=np.array([f"ch{i}" for i in range(14)],
+                                                  dtype=object),
+                                scale_min=np.zeros(14, np.float32),
+                                scale_range=np.ones(14, np.float32))
+    if variant == "v1":
+        res = train_one_condition(data_dir, tmp_path / "runs", "no_exo",
+                                  epochs=2, batch_size=8, save_every=2,
+                                  print_every=1, log=lambda *a: None)
+        run_dir = tmp_path / "runs" / "no_exo"
+        tag = "no_exo"
+    else:
+        res = train_one_posture(data_dir, tmp_path / "runs", 1,
+                                epochs=1, prewarm=1, batch_size=8, save_every=2,
+                                print_every=1, log=lambda *a: None)
+        run_dir = tmp_path / "runs" / "posture1"
+        tag = "posture1"
+
+    assert np.isfinite(res["best_g"])
+    assert (run_dir / "hparams.json").exists()
+    assert (run_dir / "metrics.csv").exists()
+    assert (run_dir / f"CGAN_generator_{tag}_best.npz").exists()
+    assert (run_dir / f"CGAN_generator_{tag}_last.npz").exists()
+    rows = (run_dir / "metrics.csv").read_text().strip().split("\n")
+    assert len(rows) == 3  # header + 2 epochs
+    # generation from the trained model
+    from eegsynth.train.cgan import generate_batch
+    x = generate_batch(res["ema"], res["bn"], res["cfg"], jax.random.key(0), 3, 0)
+    assert x.shape == (3, 14, 768)
+    assert np.isfinite(np.asarray(x)).all()
