@@ -112,7 +112,7 @@ def discriminate(params: Params, h: jax.Array, train: bool = True):
     vector advances once per forward in train mode, as in torch.
     """
     d = params["discriminator"]
-    y = gru_stack_apply(d["gru"], h)
+    y = gru_stack_apply(d["gru"], h, impl="xla")  # R1 needs 2nd-order (see trainer)
     last = y[:, -1, :]
     logits, fc_new = sn_dense_apply(d["fc"], last, train=train)
     new_d = {**d, "fc": fc_new}

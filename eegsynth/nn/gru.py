@@ -41,13 +41,48 @@ def gru_init(key: jax.Array, input_dim: int, hidden_dim: int,
     }
 
 
+_GRU_IMPL = "xla"
+"""Global recurrence implementation: "xla" | "pallas" | "auto" (pallas on TPU).
+
+Default is the XLA scan: at the reference's model sizes (H=56, B≤64) the fused
+Pallas kernel is bit-exact but measured marginally slower end-to-end inside the
+scan-chunked training step (41.8 vs 43.9 steps/s on v5e) and much slower to
+compile through the remote toolchain — the recurrence matmul is far below one
+MXU tile, so there is nothing for the kernel to win. Flip with
+``set_gru_impl("pallas")`` (or "auto") for larger hidden sizes."""
+
+
+def set_gru_impl(impl: str) -> None:
+    """Select the recurrence backend for subsequent traces ("xla"/"pallas"/"auto")."""
+    global _GRU_IMPL
+    assert impl in ("xla", "pallas", "auto"), impl
+    _GRU_IMPL = impl
+
+
+def _use_pallas() -> bool:
+    if _GRU_IMPL == "pallas":
+        return True
+    if _GRU_IMPL == "xla":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def gru_apply(params: GRUParams, x: jax.Array, h0: jax.Array | None = None,
-              *, unroll: int = 8) -> jax.Array:
+              *, unroll: int = 8, impl: str | None = None) -> jax.Array:
     """Run one GRU layer over a batch-first sequence.
 
     ``x``: (B, T, in) → (B, T, H). The input projection for every timestep is one
-    MXU matmul; the scan carries only (B, H).
+    MXU matmul; the scan carries only (B, H). On TPU the recurrence dispatches
+    to the fused Pallas sequence kernel (eegsynth.nn.pallas_gru) unless
+    overridden via ``impl`` or :func:`set_gru_impl`.
     """
+    use = impl if impl is not None else _GRU_IMPL
+    if use == "pallas" or (use == "auto" and _use_pallas()):
+        from eegsynth.nn.pallas_gru import gru_apply_pallas
+        return gru_apply_pallas(params, x, h0)
     B, T, _ = x.shape
     H = params["w_hh"].shape[1]
     if h0 is None:
@@ -84,13 +119,17 @@ def gru_stack_init(key: jax.Array, input_dim: int, hidden_dim: int,
 
 def gru_stack_apply(params: List[GRUParams], x: jax.Array,
                     *, dropout: float = 0.0, key: jax.Array | None = None,
-                    train: bool = False) -> jax.Array:
+                    train: bool = False, impl: str | None = None) -> jax.Array:
     """Stacked GRU with inter-layer dropout (PyTorch semantics: dropout applies
     between layers only, so a 1-layer stack — the reference default,
-    timegan_config.json "layers": 1 — has no dropout in effect)."""
+    timegan_config.json "layers": 1 — has no dropout in effect).
+
+    ``impl="xla"`` forces the scan path — required wherever the stack sits under
+    second-order differentiation (R1 penalties), since the Pallas kernel's
+    custom VJP is first-order only."""
     y = x
     for i, layer in enumerate(params):
-        y = gru_apply(layer, y)
+        y = gru_apply(layer, y, impl=impl)
         if train and dropout > 0.0 and i < len(params) - 1:
             assert key is not None, "dropout requires a PRNG key"
             key, sub = jax.random.split(key)

@@ -98,8 +98,10 @@ def _make_opt(lr, clip: float, beta1: float, beta2: float):
 
 def _disc_apply(d_params, h, train: bool):
     """H → (p(real), updated d) — GRU last step + spectral-norm head + sigmoid
-    (timegan_model.py:86-98)."""
-    y = gru_stack_apply(d_params["gru"], h)
+    (timegan_model.py:86-98). Uses the XLA recurrence: the R1 penalty takes a
+    second derivative through this forward, which the Pallas kernel's
+    first-order custom VJP cannot provide."""
+    y = gru_stack_apply(d_params["gru"], h, impl="xla")
     logits, fc_new = sn_dense_apply(d_params["fc"], y[:, -1, :], train=train)
     return jax.nn.sigmoid(logits), {**d_params, "fc": fc_new}
 

@@ -198,9 +198,91 @@ def cmd_paired(args):
             w.writerows(rows)
 
 
+def cmd_participants(args):
+    """Participant-paired pipeline from raw trial CSVs + synthetic runs
+    (timeGAN/mental_fatigue_t_test.py / _v2)."""
+    from eegsynth import EPOC_CHANNELS
+    from eegsynth.analysis.participant_fatigue import (
+        aggregate_fake, aggregate_real, collect_real,
+    )
+    from eegsynth.analysis.ttests import sig_stars
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    per_part = collect_real(Path(args.data_root))
+    r_means, r_sds, r_pvals, counts = aggregate_real(per_part)
+    s_means, s_sds, s_pvals = aggregate_fake(args.synth_dir, args.real_dir,
+                                             inverse_scale=args.inverse_scale)
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = []
+    for p in range(1, 10):
+        have_real = np.isfinite(r_means[p]["no_exo"]).any()
+        have_syn = np.isfinite(s_means[p]["no_exo"]).any()
+        if not (have_real or have_syn):
+            continue
+        C = len(EPOC_CHANNELS)
+        x = np.arange(C)
+        width = 0.2
+        plt.figure(figsize=(14, 6))
+        bars = (("RN", r_means[p]["no_exo"], r_sds[p]["no_exo"]),
+                ("RW", r_means[p]["with_exo"], r_sds[p]["with_exo"]),
+                ("SN", s_means[p]["no_exo"], s_sds[p]["no_exo"]),
+                ("SW", s_means[p]["with_exo"], s_sds[p]["with_exo"]))
+        for gi, (g, mu, sd) in enumerate(bars):
+            plt.bar(x + (gi - 1.5) * width, np.nan_to_num(mu), width,
+                    yerr=np.nan_to_num(sd), capsize=2, label=g)
+        finite = [np.nanmax(mu) for _, mu, _ in bars if np.isfinite(mu).any()]
+        ymax = max(finite) if finite else 1.0
+        for ci in range(C):
+            sr, ss = sig_stars(r_pvals[p][ci]), sig_stars(s_pvals[p][ci])
+            if sr:
+                plt.text(ci - width, ymax * 1.02, sr, ha="center", fontsize=9)
+            if ss:
+                plt.text(ci + width, ymax * 1.02, ss, ha="center", fontsize=9,
+                         color="C3")
+        plt.xticks(x, EPOC_CHANNELS, rotation=45, ha="right")
+        plt.ylabel("TBR (Theta/Beta)")
+        plt.title(f"Posture {p}: participant-paired TBR "
+                  f"(paired n={counts[p]['paired']})")
+        plt.legend()
+        plt.tight_layout()
+        plt.savefig(out / f"posture{p}_participant_tbr.png", dpi=200)
+        plt.close()
+        for ci, ch in enumerate(EPOC_CHANNELS):
+            rows.append({"posture": p, "channel": ch,
+                         "real_no_exo": r_means[p]["no_exo"][ci],
+                         "real_with_exo": r_means[p]["with_exo"][ci],
+                         "synth_no_exo": s_means[p]["no_exo"][ci],
+                         "synth_with_exo": s_means[p]["with_exo"][ci],
+                         "p_real_paired": r_pvals[p][ci],
+                         "p_synth_paired": s_pvals[p][ci],
+                         "n_paired_participants": counts[p]["paired"]})
+        print(f"[participants] posture {p}: paired n={counts[p]['paired']}")
+    if rows:
+        with open(out / "participant_ttests.csv", "w", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+
+
 def main():
     ap = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     sub = ap.add_subparsers(dest="cmd", required=True)
+    p = sub.add_parser("participants")
+    p.add_argument("--data-root", type=str, required=True,
+                   help="raw CSV tree containing protocol_outputs_*")
+    p.add_argument("--synth-dir", type=str, required=True,
+                   help="timegan_runs root with posture*_*/synthetic.npz")
+    p.add_argument("--real-dir", type=str, default=None,
+                   help="preprocessed NPZs (for v2 inverse scaling / remap)")
+    p.add_argument("--out", type=str, required=True)
+    p.add_argument("--inverse-scale", action="store_true",
+                   help="v2: invert min-max scaling + clamp to real range")
+    p.set_defaults(fn=cmd_participants)
     for name, fn in (("bandpower", cmd_bandpower), ("indices", cmd_indices),
                      ("ttest", cmd_ttest), ("paired", cmd_paired)):
         p = sub.add_parser(name)
