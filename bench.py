@@ -50,14 +50,14 @@ def main():
     gser = {k: params[k] for k in ("generator", "supervisor", "embedder", "recovery")}
     g_state = optG.init(gser)
 
-    gan_chunk = make_gan_chunk(cfg, hp, optD, optG, None)(X, min(hp.batch_size, N))
+    gan_chunk = make_gan_chunk(cfg, hp, optD, optG, None)(min(hp.batch_size, N))
 
     def run_chunk(carry, step0):
         params, d_state, g_state, best_p, best_l, best_s, key = carry
         key, sub = jax.random.split(key)
         out, logs = gan_chunk(params, d_state, g_state, best_p, best_l, best_s,
                               sub, jnp.int32(step0),
-                              jnp.arange(1, hp.chunk + 1, dtype=jnp.int32))
+                              jnp.arange(1, hp.chunk + 1, dtype=jnp.int32), X)
         jax.block_until_ready(logs)
         return out, logs
 

@@ -186,14 +186,20 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
     noise_decay = (hp.inst_noise_start - hp.inst_noise_end) / max(1, hp.gan_steps)
 
     def one_step(carry, step):
-        params, d_state, g_state, best_params, best_loss, best_step, key = carry
+        params, d_state, g_state, best_params, best_loss, best_step, key, X, n_valid = carry
         key, k_idx, k_z1, k_nr, k_nf, k_lbl, k_z2, k_ng = jax.random.split(key, 8)
         inst = jnp.maximum(hp.inst_noise_end,
                            hp.inst_noise_start - (step - 1).astype(jnp.float32) * noise_decay)
 
-        n = X_ref[0].shape[0]
-        idx = jax.random.permutation(k_idx, n)[:B_eff]
-        x = constrain_batch(X_ref[0][idx], mesh)
+        if n_valid is None:
+            # exact without-replacement batch over the full bucket
+            idx = jax.random.permutation(k_idx, X.shape[0])[:B_eff]
+        else:
+            # padded/stacked buckets (vmapped multi-bucket training): uniform
+            # with replacement over the valid prefix — shape-static per bucket
+            idx = jnp.floor(jax.random.uniform(k_idx, (B_eff,))
+                            * n_valid).astype(jnp.int32)
+        x = constrain_batch(X[idx], mesh)
         B, T = x.shape[0], x.shape[1]
 
         # ---------------- D step (train_timegan.py:166-225) ----------------
@@ -265,24 +271,41 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
         best_step = jnp.where(is_best, step, best_step)
 
         logs = jnp.stack([d_loss, d_acc, g_total, g_adv, g_supv, g_rec, g_cov, g_acf])
-        return (params, d_state, g_state, best_params, best_loss, best_step, key), logs
+        return (params, d_state, g_state, best_params, best_loss, best_step, key,
+                X, n_valid), logs
 
-    X_ref = []   # bound at jit time through closure via the wrapper below
     B_eff = None
 
-    def build(X, batch_eff):
+    def build(batch_eff, with_valid_n: bool = False, vmapped: bool = False):
+        """Build the jitted chunk runner.
+
+        - default: exact single-bucket semantics (X as argument, permutation
+          batches)
+        - with_valid_n: padded bucket with a traced valid count (replacement
+          sampling) — required for vmapping over stacked buckets
+        - vmapped: vmap every argument except the shared step ids over a
+          leading bucket axis (one dispatch trains every bucket in parallel)
+        """
         nonlocal B_eff
-        X_ref.clear()
-        X_ref.append(X)
         B_eff = batch_eff
+
+        def chunk(params, d_state, g_state, best_params, best_loss, best_step,
+                  key, X, n_valid, steps):
+            carry = (params, d_state, g_state, best_params, best_loss, best_step,
+                     key, X, n_valid if with_valid_n else None)
+            carry, logs = jax.lax.scan(one_step, carry, steps)
+            return carry[:7], logs
+
+        if vmapped:
+            chunk = jax.vmap(chunk,
+                             in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None))
 
         @jax.jit
         def gan_chunk(params, d_state, g_state, best_params, best_loss, best_step,
-                      key, step0, n_steps_arr):
+                      key, step0, n_steps_arr, X, n_valid=0):
             steps = step0 + n_steps_arr  # (chunk,) global 1-based step ids
-            carry = (params, d_state, g_state, best_params, best_loss, best_step, key)
-            carry, logs = jax.lax.scan(one_step, carry, steps)
-            return carry, logs
+            return chunk(params, d_state, g_state, best_params, best_loss,
+                         best_step, key, X, n_valid, steps)
 
         return gan_chunk
 
@@ -351,7 +374,7 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
     g_state = optG.init(gser)
 
     batch_eff = round_batch_to_mesh(min(hp.batch_size, N), mesh)
-    gan_chunk = make_gan_chunk(cfg, hp, optD, optG, mesh)(X, batch_eff)
+    gan_chunk = make_gan_chunk(cfg, hp, optD, optG, mesh)(batch_eff)
 
     best_params = params
     best_loss = jnp.float32(np.inf)
@@ -369,7 +392,7 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
         key, sub = jax.random.split(key)
         (params, d_state, g_state, best_params, best_loss, best_step, _), logs = gan_chunk(
             params, d_state, g_state, best_params, best_loss, best_step,
-            sub, jnp.int32(done), jnp.arange(1, n_steps + 1, dtype=jnp.int32))
+            sub, jnp.int32(done), jnp.arange(1, n_steps + 1, dtype=jnp.int32), X)
         logs = np.asarray(logs)
         done += n_steps
         with open(log_file, "a") as f:

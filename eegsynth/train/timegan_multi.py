@@ -1,0 +1,216 @@
+"""Train every (posture, condition) TimeGAN simultaneously via vmap.
+
+The reference trains its 18 bucket models sequentially in a Python for-loop
+(train_timegan.py:468-495) — embarrassing parallelism left on the table
+(SURVEY.md §2.6). Here the buckets become a leading axis: parameters, optimizer
+states, and best-checkpoint tracking are stacked pytrees, every phase step is
+``jax.vmap``-ed over that axis, and one device dispatch advances all models at
+once. With a mesh, the bucket axis shards across devices (pad buckets to a
+multiple of the mesh size).
+
+Semantics deviations from the sequential trainer (documented, quality-neutral):
+- batches are sampled uniformly WITH replacement from each bucket's valid
+  prefix (buckets have different N; shapes must be static and uniform);
+- AE/supervisor phases run a uniform ``epochs × ceil(max_N / batch)`` steps per
+  bucket instead of per-bucket epoch boundaries;
+- per-bucket init/noise streams derive from ``fold_in(seed, bucket)`` instead of
+  the reference's identical per-bucket seed reset.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from eegsynth.data.io import bucket_paths
+from eegsynth.losses.timegan import recon_loss
+from eegsynth.models.timegan import (
+    TimeGANConfig, adaptive_dims, encode, reconstruct, refine_latent, timegan_init,
+)
+from eegsynth.train import checkpoint as ckpt_io
+from eegsynth.train.timegan import (
+    TimeGANHParams, _make_opt, _multistep_lr, make_gan_chunk, synthesize,
+)
+
+
+def _stack_buckets(files):
+    Xs, names = [], []
+    for fp in files:
+        Xs.append(np.load(fp)["X"].astype(np.float32))
+        names.append(Path(fp).stem)
+    T, C = Xs[0].shape[1], Xs[0].shape[2]
+    assert all(x.shape[1:] == (T, C) for x in Xs), "buckets must share (T, C)"
+    n_valid = np.array([len(x) for x in Xs], dtype=np.int32)
+    n_max = int(n_valid.max())
+    X = np.zeros((len(Xs), n_max, T, C), dtype=np.float32)
+    for i, x in enumerate(Xs):
+        X[i, :len(x)] = x
+    return jnp.asarray(X), jnp.asarray(n_valid), names, T, C
+
+
+def _make_pre_phase(hp, opt, which: str):
+    """Step-based vmapped AE / supervisor phase (replacement batches)."""
+
+    def one_step(carry, _):
+        params, opt_state, key, X, n_valid = carry
+        key, k_idx = jax.random.split(key)
+        B = min(hp.batch_size, X.shape[0])
+        idx = jnp.floor(jax.random.uniform(k_idx, (B,)) * n_valid).astype(jnp.int32)
+        x = X[idx]
+
+        if which == "ae":
+            def loss_fn(er):
+                p = {**params, **er}
+                return recon_loss(x, reconstruct(p, x))
+            sub = {"embedder": params["embedder"], "recovery": params["recovery"]}
+        else:
+            h = jax.lax.stop_gradient(encode(params, x))
+
+            def loss_fn(sup):
+                p = {**params, "supervisor": sup}
+                h_pred = refine_latent(p, h[:, :-1, :])
+                return jnp.mean((h_pred - h[:, 1:, :]) ** 2)
+            sub = params["supervisor"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(sub)
+        updates, opt_state = opt.update(grads, opt_state, sub)
+        sub = optax.apply_updates(sub, updates)
+        if which == "ae":
+            params = {**params, **sub}
+        else:
+            params = {**params, "supervisor": sub}
+        return (params, opt_state, key, X, n_valid), loss
+
+    def phase(params, opt_state, key, X, n_valid, n_steps):
+        carry = (params, opt_state, key, X, n_valid)
+        carry, losses = jax.lax.scan(one_step, carry, None, length=n_steps)
+        return carry[0], carry[1], losses
+
+    return jax.jit(jax.vmap(phase, in_axes=(0, 0, 0, 0, 0, None)),
+                   static_argnums=(5,))
+
+
+def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
+                      **hparams) -> dict:
+    """Vmapped multi-bucket training; writes the same per-bucket artifact set
+    (train_log.csv, ckpt_latest/ckpt_best, synthetic.npz) as the sequential
+    driver. Returns aggregate throughput stats."""
+    out_root = Path(out_root)
+    hp = TimeGANHParams(**hparams)
+    files = bucket_paths(data_dir)
+    if not files:
+        raise SystemExit(f"No NPZs found in {data_dir}")
+    X, n_valid, names, T, C = _stack_buckets(files)
+    nb, n_max = X.shape[0], X.shape[1]
+    z_dim, h_dim = adaptive_dims(C, T)
+    cfg = TimeGANConfig(x_dim=C, z_dim=z_dim, h_dim=h_dim,
+                        num_layers=hp.layers, dropout=hp.dropout)
+    print(f"==> {nb} buckets | T={T} C={C} z={z_dim} h={h_dim} "
+          f"N∈[{int(jnp.min(n_valid))},{n_max}]", flush=True)
+
+    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.key(hp.seed), i))(
+        jnp.arange(nb))
+    params = jax.vmap(timegan_init, in_axes=(0, None))(keys, cfg)
+    keys = jax.vmap(jax.random.split, out_axes=1)(keys)[0]
+
+    steps_per_epoch = -(-n_max // min(hp.batch_size, n_max))
+    t_all = time.perf_counter()
+
+    # Phase 1 + 2
+    optER = _make_opt(hp.lr_g, hp.grad_clip, hp.beta1, hp.beta2)
+    er0 = jax.vmap(lambda p: {"embedder": p["embedder"], "recovery": p["recovery"]})(params)
+    state = jax.vmap(optER.init)(er0)
+    ae_phase = _make_pre_phase(hp, optER, "ae")
+    params, _, ae_losses = ae_phase(params, state, keys, X, n_valid,
+                                    hp.ae_epochs * steps_per_epoch)
+    keys = jax.vmap(jax.random.split, out_axes=1)(keys)[0]
+    print(f"[AE] {hp.ae_epochs * steps_per_epoch} steps × {nb} buckets  "
+          f"final recon≈{float(jnp.mean(ae_losses[:, -1])):.5f}", flush=True)
+
+    optS = _make_opt(hp.lr_g, hp.grad_clip, hp.beta1, hp.beta2)
+    state = jax.vmap(lambda p: optS.init(p["supervisor"]))(params)
+    sup_phase = _make_pre_phase(hp, optS, "sup")
+    params, _, sup_losses = sup_phase(params, state, keys, X, n_valid,
+                                      hp.sup_epochs * steps_per_epoch)
+    keys = jax.vmap(jax.random.split, out_axes=1)(keys)[0]
+    print(f"[SUP] {hp.sup_epochs * steps_per_epoch} steps × {nb} buckets  "
+          f"final sup≈{float(jnp.mean(sup_losses[:, -1])):.5f}", flush=True)
+
+    # Phase 3: vmapped GAN chunks
+    milestones = (hp.gan_steps // 2, int(hp.gan_steps * 0.75))
+    optD = _make_opt(_multistep_lr(hp.lr_d, milestones), hp.grad_clip, hp.beta1, hp.beta2)
+    optG = _make_opt(_multistep_lr(hp.lr_g, milestones), hp.grad_clip, hp.beta1, hp.beta2)
+    d_state = jax.vmap(lambda p: optD.init(p["discriminator"]))(params)
+    g_state = jax.vmap(lambda p: optG.init(
+        {k: p[k] for k in ("generator", "supervisor", "embedder", "recovery")}))(params)
+
+    B_eff = min(hp.batch_size, n_max)
+    gan_chunk = make_gan_chunk(cfg, hp, optD, optG, None)(
+        B_eff, with_valid_n=True, vmapped=True)
+
+    best_params = params
+    best_loss = jnp.full((nb,), jnp.inf, jnp.float32)
+    best_step = jnp.zeros((nb,), jnp.int32)
+    all_logs = []
+
+    t0 = time.perf_counter()
+    done = 0
+    while done < hp.gan_steps:
+        n_steps = min(hp.chunk, hp.gan_steps - done)
+        keys = jax.vmap(jax.random.split, out_axes=1)(keys)[0]
+        (params, d_state, g_state, best_params, best_loss, best_step, _), logs = \
+            gan_chunk(params, d_state, g_state, best_params, best_loss, best_step,
+                      keys, jnp.int32(done),
+                      jnp.arange(1, n_steps + 1, dtype=jnp.int32), X,
+                      n_valid.astype(jnp.float32))
+        all_logs.append(np.asarray(logs))          # (nb, n_steps, 8)
+        done += n_steps
+        row = np.asarray(logs)[:, -1, :]
+        print(f"[GAN] step {done}/{hp.gan_steps}  mean over {nb} buckets: "
+              f"D={row[:, 0].mean():.4f} acc≈{row[:, 1].mean():.2f} "
+              f"G={row[:, 2].mean():.4f}", flush=True)
+    gan_seconds = time.perf_counter() - t0
+    agg_steps_per_sec = nb * hp.gan_steps / gan_seconds
+    total_seconds = time.perf_counter() - t_all
+    print(f"[GAN] {nb}×{hp.gan_steps} steps in {gan_seconds:.1f}s → "
+          f"{agg_steps_per_sec:.1f} aggregate steps/s", flush=True)
+
+    # Per-bucket artifacts
+    logs_cat = np.concatenate(all_logs, axis=1)    # (nb, gan_steps, 8)
+    meta_base = {"z_dim": z_dim, "h_dim": h_dim}
+    for b, name in enumerate(names):
+        out_dir = out_root / name
+        out_dir.mkdir(parents=True, exist_ok=True)
+        with open(out_dir / "train_log.csv", "w") as f:
+            f.write("step,phase,loss_D,acc_D,loss_G,loss_adv,loss_sup,"
+                    "loss_rec,loss_cov,loss_acf\n")
+            for s in range(hp.gan_steps):
+                f.write(f"{s+1},GAN," + ",".join(repr(float(v))
+                        for v in logs_cat[b, s]) + "\n")
+        take = lambda tree: jax.tree_util.tree_map(lambda a: a[b], tree)
+        ckpt_io.save_checkpoint(out_dir / "ckpt_latest.npz",
+                                {"model": take(params), "optG": take(g_state),
+                                 "optD": take(d_state)},
+                                {**meta_base, "npz": f"{name}.npz",
+                                 "step": hp.gan_steps})
+        ckpt_io.save_checkpoint(out_dir / "ckpt_best.npz",
+                                {"model": take(best_params), "optG": take(g_state),
+                                 "optD": take(d_state)},
+                                {**meta_base, "npz": f"{name}.npz", "best": True,
+                                 "step": int(best_step[b]),
+                                 "best_loss": float(best_loss[b])})
+        n_b = int(n_valid[b])
+        key_b = jax.random.fold_in(jax.random.key(hp.seed ^ 0x5eed), b)
+        X_hat = synthesize(take(params), cfg, key_b, n_b, T)
+        np.savez_compressed(out_dir / "synthetic.npz",
+                            X=np.asarray(X_hat, np.float32))
+        print(f"[{name}] artifacts written (best@{int(best_step[b])})", flush=True)
+
+    return {"aggregate_steps_per_sec": agg_steps_per_sec,
+            "gan_seconds": gan_seconds, "total_seconds": total_seconds,
+            "n_buckets": nb}

@@ -47,6 +47,9 @@ def main():
                     help="JSON/YAML config (same schema as the reference timegan_config.json)")
     ap.add_argument("--data_dir", type=str, default=None)
     ap.add_argument("--out_dir", type=str, default=None)
+    ap.add_argument("--parallel_buckets", action="store_true",
+                    help="train ALL buckets simultaneously via vmap (TPU-native "
+                         "bucket parallelism; see eegsynth.train.timegan_multi)")
     for k, typ in CONFIG_KEYS.items():
         ap.add_argument(f"--{k}", type=typ, default=None)
     args = ap.parse_args()
@@ -65,7 +68,6 @@ def main():
             hp[k] = typ(cfg[k])
 
     from eegsynth.data.io import bucket_paths
-    from eegsynth.train.timegan import train_single_npz
     import jax
 
     files = bucket_paths(data_dir)
@@ -74,10 +76,18 @@ def main():
     print(f"Using devices: {jax.devices()}")
     print(f"Found {len(files)} datasets → training {len(files)} models.")
 
-    for fp in files:
-        run_dir = out_root / fp.stem
-        print(f"\n=== Training {fp.name} → {run_dir} ===")
-        train_single_npz(fp, run_dir, **hp)
+    if args.parallel_buckets:
+        from eegsynth.train.timegan_multi import train_all_buckets
+        res = train_all_buckets(data_dir, out_root, **hp)
+        print(f"\nAggregate: {res['aggregate_steps_per_sec']:.1f} GAN steps/s "
+              f"across {res['n_buckets']} buckets "
+              f"({res['total_seconds']:.1f}s total)")
+    else:
+        from eegsynth.train.timegan import train_single_npz
+        for fp in files:
+            run_dir = out_root / fp.stem
+            print(f"\n=== Training {fp.name} → {run_dir} ===")
+            train_single_npz(fp, run_dir, **hp)
 
     print("\nAll models trained. Checkpoints, logs, and synthetic data are under:", out_root)
 
