@@ -40,11 +40,15 @@ def save_checkpoint(path: Path | str, trees: dict[str, Any], meta: dict) -> None
     np.savez_compressed(path, **payload)
 
 
-def load_checkpoint(path: Path | str, templates: dict[str, Any]):
+def load_checkpoint(path: Path | str, templates: dict[str, Any],
+                    strict: bool = True):
     """Restore named pytrees into the structure of ``templates``.
 
     Returns (trees, meta). Leaves are matched by flattened path key; dtype
-    follows the stored array.
+    follows the stored array. ``strict=False`` keeps the template's value for
+    missing leaves (with a warning) — the lenient-loading capability of the
+    reference's ``safe_load_generator`` key-rename fallback
+    (CGAN/eval_cgan.py:83-94).
     """
     data = np.load(path)
     meta = json.loads(bytes(data["__meta__"]).decode("utf-8"))
@@ -55,7 +59,12 @@ def load_checkpoint(path: Path | str, templates: dict[str, Any]):
         for p, leaf in paths_and_leaves:
             key = name + jax.tree_util.keystr(p)
             if key not in data.files:
-                raise KeyError(f"checkpoint {path} missing leaf {key}")
-            leaves.append(data[key])
+                if strict:
+                    raise KeyError(f"checkpoint {path} missing leaf {key}")
+                print(f"[ckpt] missing leaf {key}; keeping template value",
+                      flush=True)
+                leaves.append(np.asarray(leaf))
+            else:
+                leaves.append(data[key])
         out[name] = jax.tree_util.tree_unflatten(treedef, leaves)
     return out, meta

@@ -172,7 +172,7 @@ def cluster_figures(pairs: dict, out_dir, color_scheme: str = "36", seed: int = 
              "Combined PCA: Posture×Condition (● Real, × Gen)")
 
     Xb, Pb, Db, Cb = balanced_subsample(X, P, D, C, max_total=tsne_max, seed=seed)
-    K = min(pca_keep, Xb.shape[1])
+    K = min(pca_keep, Xb.shape[1], max(2, Xb.shape[0] - 1))
     Xred = PCA(n_components=K, random_state=seed).fit_transform(Xb)
     ts2 = TSNE(n_components=2, perplexity=tsne_perplexity, init="pca",
                random_state=seed).fit_transform(Xred)

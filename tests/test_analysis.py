@@ -1,0 +1,147 @@
+"""Fatigue analysis + visualization units: oracles vs the reference formulas."""
+
+import numpy as np
+import pytest
+import scipy.signal as sig
+
+from eegsynth.analysis.bandpower import (
+    BANDS, band_powers, compute_psd_per_channel, order_channels_grouped,
+)
+from eegsynth.analysis.fatigue import fatigue_indices, tbr_matrix, workload_ratio
+from eegsynth.analysis.participant_fatigue import (
+    compute_fatigue_tbr, remap_to_14_channels,
+)
+from eegsynth.analysis.ttests import (
+    display_scales, reorder_by_region, sig_stars, welch_ttest_per_channel,
+)
+
+
+def test_compute_psd_matches_scipy_loops(rng):
+    X = rng.standard_normal((5, 256, 3))
+    fs = 128.0
+    f, psd_mean, psd_sem = compute_psd_per_channel(X, fs)
+    # reference loops scipy.welch per (epoch, channel)
+    all_psd = np.stack([
+        np.stack([sig.welch(X[i, :, c], fs=fs, nperseg=128, noverlap=64)[1]
+                  for c in range(3)]) for i in range(5)])
+    np.testing.assert_allclose(psd_mean, all_psd.mean(axis=0), rtol=1e-7, atol=1e-12)
+    np.testing.assert_allclose(psd_sem, all_psd.std(axis=0, ddof=1) / np.sqrt(5),
+                               rtol=1e-6, atol=1e-12)
+
+
+def test_band_powers_and_indices(rng):
+    X = rng.standard_normal((4, 256, 3))
+    f, psd_mean, _ = compute_psd_per_channel(X, 128.0)
+    bp = band_powers(f, psd_mean)
+    assert set(bp) == set(BANDS)
+    for v in bp.values():
+        assert v.shape == (3,)
+        assert (v >= 0).all()
+    idx = fatigue_indices(bp)
+    np.testing.assert_allclose(idx["TBR (Theta/Beta)"],
+                               bp["Theta"] / (bp["Beta"] + 1e-12))
+    np.testing.assert_allclose(idx["Theta/Alpha"],
+                               bp["Theta"] / (bp["Alpha"] + 1e-12))
+
+
+def test_workload_ratio_region_fallback(rng):
+    bp = {"Theta": np.array([2.0, 4.0]), "Alpha": np.array([1.0, 3.0]),
+          "Beta": np.array([1.0, 1.0])}
+    # named channels present
+    w = workload_ratio(bp, ["AF3", "P7"])
+    np.testing.assert_allclose(w, 2.0 / 3.0, rtol=1e-9)
+    # unknown channel names → global mean fallback (reference safe_mean)
+    w2 = workload_ratio(bp, ["X1", "X2"])
+    np.testing.assert_allclose(w2, 3.0 / 2.0, rtol=1e-9)
+
+
+def test_tbr_matrix_matches_scipy(rng):
+    X = rng.standard_normal((3, 256, 2))
+    fs = 128.0
+    got = tbr_matrix(X, fs)
+    for i in range(3):
+        for c in range(2):
+            fr, P = sig.welch(X[i, :, c], fs=fs, nperseg=128, noverlap=64)
+            th = np.trapz(P[(fr >= 4) & (fr <= 8)], fr[(fr >= 4) & (fr <= 8)])
+            be = np.trapz(P[(fr >= 13) & (fr <= 30)], fr[(fr >= 13) & (fr <= 30)])
+            np.testing.assert_allclose(got[i, c], th / (be + 1e-12), rtol=1e-6)
+
+
+def test_welch_ttest_and_stars(rng):
+    a = rng.standard_normal((30, 4))
+    b = rng.standard_normal((30, 4)) + 2.0
+    t, p = welch_ttest_per_channel(a, b, 4)
+    assert (p < 0.01).all()
+    assert sig_stars(0.0001) == "***" and sig_stars(0.004) == "**"
+    assert sig_stars(0.04) == "*" and sig_stars(0.5) == ""
+    assert sig_stars(np.nan) == ""
+
+
+def test_display_scales():
+    groups = {"RN": np.full((10, 2), 4.0), "RW": np.full((10, 2), 6.0),
+              "SN": np.full((10, 2), 2.0), "SW": np.full((10, 2), 3.0)}
+    s = display_scales(groups, "none")
+    assert all(v == 1.0 for v in s.values())
+    s = display_scales(groups, "p95")
+    np.testing.assert_allclose(s["SN"], 6.0 / 3.0)
+    s = display_scales(groups, "median")
+    np.testing.assert_allclose(s["SN"], 2.0)   # RN median 4 / SN median 2
+    np.testing.assert_allclose(s["SW"], 2.0)   # RW 6 / SW 3
+
+
+def test_reorder_and_group_channels():
+    names = ["O1", "AF3", "T7", "weird"]
+    ordered, arr = reorder_by_region(names, np.arange(4))
+    assert ordered[0] == "AF3" and "weird" in ordered
+    on, oi, bounds = order_channels_grouped(names)
+    assert on[0] == "AF3"
+    regions = [b[0] for b in bounds]
+    assert "Frontal" in regions and "Other" in regions
+
+
+def test_participant_fatigue_units(rng):
+    x = rng.standard_normal((256, 3))
+    tbr = compute_fatigue_tbr(x, 128.0)
+    assert tbr.shape == (3,) and (tbr > 0).all()
+    # remap: eeg.af3-style names land in canonical slots
+    v = remap_to_14_channels(np.array([1.0, 2.0]), ["eeg.af3", "eeg.af4"])
+    assert v[0] == 1.0 and v[13] == 2.0 and np.isnan(v[1:13]).all()
+
+
+def test_viz_smoke(tmp_path, rng):
+    from eegsynth.viz.cluster import cluster_figures
+    from eegsynth.viz.traces import estimate_prefix_to_trim, plot_pair
+
+    pairs = {(1, "no_exo"): (rng.uniform(0, 1, (12, 64, 3)).astype(np.float32),
+                             rng.uniform(0, 1, (12, 64, 3)).astype(np.float32)),
+             (2, "with_exo"): (rng.uniform(0, 1, (10, 64, 3)).astype(np.float32),
+                               rng.uniform(0, 1, (10, 64, 3)).astype(np.float32))}
+    cluster_figures(pairs, tmp_path, color_scheme="18", tsne_perplexity=5.0,
+                    zooms=True, separate_legend=True)
+    assert (tmp_path / "pca_combined.png").exists()
+    assert (tmp_path / "tsne_combined.png").exists()
+    assert (tmp_path / "pca_combined_legend.png").exists()
+    assert (tmp_path / "pca_combined_zoom_p1_no_exo.png").exists()
+
+    real, fake = pairs[(1, "no_exo")]
+    L = plot_pair(real, fake, ["a", "b", "c"], 128.0, tmp_path, "t", n_samples=2)
+    assert (tmp_path / "samples_t.png").exists()
+    assert (tmp_path / "summary_t.png").exists()
+    assert 0 <= L <= 64
+    # warm-up detection: fake with a large constant prefix gets trimmed
+    warm = fake.copy()
+    warm[:, :20, :] += 5.0
+    assert estimate_prefix_to_trim(warm) > 0
+
+
+def test_lenient_checkpoint_loader(tmp_path):
+    import jax
+    from eegsynth.train.checkpoint import load_checkpoint, save_checkpoint
+    tree = {"a": np.ones(3), "b": np.zeros(2)}
+    save_checkpoint(tmp_path / "c.npz", {"model": tree}, {"x": 1})
+    bigger = {"a": np.zeros(3), "b": np.ones(2), "c": np.full(4, 7.0)}
+    with pytest.raises(KeyError):
+        load_checkpoint(tmp_path / "c.npz", {"model": bigger})
+    trees, meta = load_checkpoint(tmp_path / "c.npz", {"model": bigger}, strict=False)
+    np.testing.assert_array_equal(trees["model"]["a"], np.ones(3))
+    np.testing.assert_array_equal(trees["model"]["c"], np.full(4, 7.0))
