@@ -317,12 +317,14 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
 # --------------------------------------------------------------------------
 
 def train_single_npz(npz_path, out_dir, device=None, mesh=None,
-                     log_every: int = 100, **hparams) -> dict:
+                     log_every: int = 100, profile_dir=None, **hparams) -> dict:
     """Train one TimeGAN on one (posture, condition) bucket NPZ.
 
     Writes the reference artifact set into ``out_dir``: train_log.csv (same
     columns), ckpt_latest.npz / ckpt_best.npz ({step, model, optG, optD, meta}),
     synthetic.npz. Returns a summary dict incl. measured GAN steps/sec.
+    ``profile_dir`` wraps the adversarial phase in a ``jax.profiler`` trace
+    (the reference has no profiling; SURVEY.md §5).
     """
     npz_path, out_dir = Path(npz_path), Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -385,6 +387,10 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
         ckpt_io.save_checkpoint(path, {"model": p, "optG": gstate_, "optD": dstate_},
                                 {**meta, "step": int(step), **(extra_meta or {})})
 
+    prof = None
+    if profile_dir is not None:
+        prof = jax.profiler.trace(str(profile_dir))
+        prof.__enter__()
     t_start = time.perf_counter()
     done = 0
     while done < hp.gan_steps:
@@ -410,6 +416,8 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
         save(out_dir / "ckpt_best.npz", best_params, d_state, g_state,
              int(best_step), {"best": True, "best_loss": float(best_loss)})
     gan_seconds = time.perf_counter() - t_start
+    if prof is not None:
+        prof.__exit__(None, None, None)
     steps_per_sec = hp.gan_steps / gan_seconds if gan_seconds > 0 else float("nan")
     print(f"[GAN] {hp.gan_steps} steps in {gan_seconds:.1f}s → {steps_per_sec:.2f} steps/s",
           flush=True)

@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--parallel_buckets", action="store_true",
                     help="train ALL buckets simultaneously via vmap (TPU-native "
                          "bucket parallelism; see eegsynth.train.timegan_multi)")
+    ap.add_argument("--profile_dir", type=str, default=None,
+                    help="wrap the adversarial phase in a jax.profiler trace")
     for k, typ in CONFIG_KEYS.items():
         ap.add_argument(f"--{k}", type=typ, default=None)
     args = ap.parse_args()
@@ -87,7 +89,7 @@ def main():
         for fp in files:
             run_dir = out_root / fp.stem
             print(f"\n=== Training {fp.name} → {run_dir} ===")
-            train_single_npz(fp, run_dir, **hp)
+            train_single_npz(fp, run_dir, profile_dir=args.profile_dir, **hp)
 
     print("\nAll models trained. Checkpoints, logs, and synthetic data are under:", out_root)
 
