@@ -105,7 +105,10 @@ def gru_apply(params: GRUParams, x: jax.Array, h0: jax.Array | None = None,
         h_new = (1.0 - z) * n + z * h
         return h_new, h_new
 
-    _, ys = jax.lax.scan(cell, h0, xp, unroll=unroll)
+    # Rematerialize the cell: the backward pass recomputes the cheap gate math
+    # instead of storing ~5 per-step residual tensors — cuts BPTT activation
+    # memory ~5× (essential for vmapped multi-bucket training; SURVEY §7 remat).
+    _, ys = jax.lax.scan(jax.checkpoint(cell), h0, xp, unroll=unroll)
     return jnp.moveaxis(ys, 0, 1)                    # (B, T, H)
 
 

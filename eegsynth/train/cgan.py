@@ -12,7 +12,7 @@
 TPU design: one device dispatch per epoch — a `lax.scan` over steps carrying
 (G, BN state, Dg, Dl, EMA, both optimizer states, PRNG). Balanced sampling
 runs on device from a padded per-class index table. The reference's AMP-on-D
-is unnecessary on TPU (f32 everywhere; flip `bf16` in hparams for bf16 D).
+is unnecessary on TPU (f32 matmuls are already fast; no GradScaler needed).
 Deviation noted: best-EMA saves include the live generator's BN running stats
 (the reference snapshots stale initial buffers into its EMA copy).
 """
