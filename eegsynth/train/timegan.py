@@ -42,8 +42,9 @@ from eegsynth.losses.timegan import (
     sup_loss, throttle_scale,
 )
 from eegsynth.models.timegan import (
-    TimeGANConfig, adaptive_dims, decode, encode, gen_latent, recover,
-    reconstruct, refine_latent, sample_noise, timegan_init,
+    TimeGANConfig, adaptive_dims, decode, encode, fused_gen_refine,
+    fused_reconstruct, gen_latent, recover, reconstruct, refine_latent,
+    sample_noise, timegan_init,
 )
 from eegsynth.nn.gru import gru_stack_apply
 from eegsynth.nn.spectral_norm import sn_dense_apply
@@ -240,8 +241,7 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
 
         def g_loss_fn(gser):
             p = {**params, **gser}
-            e_hat = gen_latent(p, z2)
-            h_hat = refine_latent(p, e_hat)
+            h_hat = refine_latent(p, gen_latent(p, z2))
             d_fake, d_after = _disc_apply(params["discriminator"],
                                           add_instance_noise(k_ng, h_hat, inst), train=True)
             g_adv = bce(d_fake, jnp.ones_like(d_fake))
