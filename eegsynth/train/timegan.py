@@ -317,7 +317,8 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
 # --------------------------------------------------------------------------
 
 def train_single_npz(npz_path, out_dir, device=None, mesh=None,
-                     log_every: int = 100, profile_dir=None, **hparams) -> dict:
+                     log_every: int = 100, profile_dir=None, resume: bool = False,
+                     **hparams) -> dict:
     """Train one TimeGAN on one (posture, condition) bucket NPZ.
 
     Writes the reference artifact set into ``out_dir``: train_log.csv (same
@@ -338,8 +339,11 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
                         num_layers=hp.layers, dropout=hp.dropout)
 
     log_file = out_dir / "train_log.csv"
-    with open(log_file, "w") as f:
-        f.write("step,phase,loss_D,acc_D,loss_G,loss_adv,loss_sup,loss_rec,loss_cov,loss_acf\n")
+    ckpt_latest = out_dir / "ckpt_latest.npz"
+    resuming = resume and ckpt_latest.exists()
+    if not resuming:
+        with open(log_file, "w") as f:
+            f.write("step,phase,loss_D,acc_D,loss_G,loss_adv,loss_sup,loss_rec,loss_cov,loss_acf\n")
 
     print(f"==> {npz_path.name} | N={N} T={T} C={C}  z_dim={z_dim} h_dim={h_dim}", flush=True)
 
@@ -348,24 +352,25 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
     params = timegan_init(k_init, cfg)
     X = jnp.asarray(X_host)
 
-    # Phase 1: autoencoder (E+R)
-    optER = _make_opt(hp.lr_g, hp.grad_clip, hp.beta1, hp.beta2)
-    er0 = {"embedder": params["embedder"], "recovery": params["recovery"]}
-    opt_state = optER.init(er0)
-    ae_epoch = make_ae_epoch(hp, optER, mesh)
-    for ep in range(1, hp.ae_epochs + 1):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = ae_epoch(params, opt_state, X, sub)
-        print(f"[AE] epoch {ep}/{hp.ae_epochs}  recon={float(loss):.5f}", flush=True)
+    if not resuming:
+        # Phase 1: autoencoder (E+R)
+        optER = _make_opt(hp.lr_g, hp.grad_clip, hp.beta1, hp.beta2)
+        er0 = {"embedder": params["embedder"], "recovery": params["recovery"]}
+        opt_state = optER.init(er0)
+        ae_epoch = make_ae_epoch(hp, optER, mesh)
+        for ep in range(1, hp.ae_epochs + 1):
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = ae_epoch(params, opt_state, X, sub)
+            print(f"[AE] epoch {ep}/{hp.ae_epochs}  recon={float(loss):.5f}", flush=True)
 
-    # Phase 2: supervisor
-    optS = _make_opt(hp.lr_g, hp.grad_clip, hp.beta1, hp.beta2)
-    opt_state = optS.init(params["supervisor"])
-    sup_epoch = make_sup_epoch(hp, optS, mesh)
-    for ep in range(1, hp.sup_epochs + 1):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = sup_epoch(params, opt_state, X, sub)
-        print(f"[SUP] epoch {ep}/{hp.sup_epochs}  sup={float(loss):.5f}", flush=True)
+        # Phase 2: supervisor
+        optS = _make_opt(hp.lr_g, hp.grad_clip, hp.beta1, hp.beta2)
+        opt_state = optS.init(params["supervisor"])
+        sup_epoch = make_sup_epoch(hp, optS, mesh)
+        for ep in range(1, hp.sup_epochs + 1):
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = sup_epoch(params, opt_state, X, sub)
+            print(f"[SUP] epoch {ep}/{hp.sup_epochs}  sup={float(loss):.5f}", flush=True)
 
     # Phase 3: adversarial
     milestones = (hp.gan_steps // 2, int(hp.gan_steps * 0.75))
@@ -381,6 +386,21 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
     best_params = params
     best_loss = jnp.float32(np.inf)
     best_step = jnp.int32(0)
+    start_step = 0
+    if resuming:
+        # Mid-GAN-phase resume (the reference only resumes its CGAN; SURVEY §5)
+        trees, ck_meta = ckpt_io.load_checkpoint(
+            ckpt_latest, {"model": params, "optG": g_state, "optD": d_state})
+        params, g_state, d_state = trees["model"], trees["optG"], trees["optD"]
+        start_step = int(ck_meta.get("step", 0))
+        best_path = out_dir / "ckpt_best.npz"
+        if best_path.exists():
+            btrees, bmeta = ckpt_io.load_checkpoint(best_path, {"model": params})
+            best_params = btrees["model"]
+            best_loss = jnp.float32(bmeta.get("best_loss", np.inf))
+            best_step = jnp.int32(bmeta.get("step", 0))
+        key = jax.random.fold_in(key, start_step)
+        print(f"[resume] {npz_path.name} from step {start_step}", flush=True)
     meta = {"npz": npz_path.name, "z_dim": z_dim, "h_dim": h_dim}
 
     def save(path, p, dstate_, gstate_, step, extra_meta=None):
@@ -392,7 +412,7 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
         prof = jax.profiler.trace(str(profile_dir))
         prof.__enter__()
     t_start = time.perf_counter()
-    done = 0
+    done = start_step
     while done < hp.gan_steps:
         n_steps = min(hp.chunk, hp.gan_steps - done)
         key, sub = jax.random.split(key)
@@ -418,7 +438,8 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
     gan_seconds = time.perf_counter() - t_start
     if prof is not None:
         prof.__exit__(None, None, None)
-    steps_per_sec = hp.gan_steps / gan_seconds if gan_seconds > 0 else float("nan")
+    steps_per_sec = ((hp.gan_steps - start_step) / gan_seconds
+                     if gan_seconds > 0 else float("nan"))
     print(f"[GAN] {hp.gan_steps} steps in {gan_seconds:.1f}s → {steps_per_sec:.2f} steps/s",
           flush=True)
 

@@ -99,13 +99,25 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
                       **hparams) -> dict:
     """Vmapped multi-bucket training; writes the same per-bucket artifact set
     (train_log.csv, ckpt_latest/ckpt_best, synthetic.npz) as the sequential
-    driver. Returns aggregate throughput stats."""
+    driver. Returns aggregate throughput stats.
+
+    With a ``mesh``, the bucket axis is sharded over the mesh's ``data`` axis
+    (buckets are padded by repeating the last one up to a mesh-size multiple;
+    padding buckets train but write no artifacts).
+    """
     out_root = Path(out_root)
     hp = TimeGANHParams(**hparams)
     files = bucket_paths(data_dir)
     if not files:
         raise SystemExit(f"No NPZs found in {data_dir}")
     X, n_valid, names, T, C = _stack_buckets(files)
+    n_real_buckets = X.shape[0]
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        pad = (-n_real_buckets) % n_dev
+        if pad:
+            X = jnp.concatenate([X] + [X[-1:]] * pad, axis=0)
+            n_valid = jnp.concatenate([n_valid] + [n_valid[-1:]] * pad)
     nb, n_max = X.shape[0], X.shape[1]
     z_dim, h_dim = adaptive_dims(C, T)
     cfg = TimeGANConfig(x_dim=C, z_dim=z_dim, h_dim=h_dim,
@@ -117,6 +129,14 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
         jnp.arange(nb))
     params = jax.vmap(timegan_init, in_axes=(0, None))(keys, cfg)
     keys = jax.vmap(jax.random.split, out_axes=1)(keys)[0]
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard = NamedSharding(mesh, P("data"))
+        X = jax.device_put(X, shard)
+        n_valid = jax.device_put(n_valid, shard)
+        params = jax.device_put(params, shard)
+        keys = jax.device_put(keys, shard)
 
     steps_per_epoch = -(-n_max // min(hp.batch_size, n_max))
     t_all = time.perf_counter()
@@ -175,7 +195,7 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
               f"D={row[:, 0].mean():.4f} acc≈{row[:, 1].mean():.2f} "
               f"G={row[:, 2].mean():.4f}", flush=True)
     gan_seconds = time.perf_counter() - t0
-    agg_steps_per_sec = nb * hp.gan_steps / gan_seconds
+    agg_steps_per_sec = n_real_buckets * hp.gan_steps / gan_seconds
     total_seconds = time.perf_counter() - t_all
     print(f"[GAN] {nb}×{hp.gan_steps} steps in {gan_seconds:.1f}s → "
           f"{agg_steps_per_sec:.1f} aggregate steps/s", flush=True)
@@ -213,4 +233,4 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
 
     return {"aggregate_steps_per_sec": agg_steps_per_sec,
             "gan_seconds": gan_seconds, "total_seconds": total_seconds,
-            "n_buckets": nb}
+            "n_buckets": n_real_buckets, "n_padded": nb - n_real_buckets}

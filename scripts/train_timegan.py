@@ -52,6 +52,9 @@ def main():
                          "bucket parallelism; see eegsynth.train.timegan_multi)")
     ap.add_argument("--profile_dir", type=str, default=None,
                     help="wrap the adversarial phase in a jax.profiler trace")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue each run from its ckpt_latest.npz "
+                         "(skips phases 1-2; framework extra, reference lacks it)")
     for k, typ in CONFIG_KEYS.items():
         ap.add_argument(f"--{k}", type=typ, default=None)
     args = ap.parse_args()
@@ -89,7 +92,8 @@ def main():
         for fp in files:
             run_dir = out_root / fp.stem
             print(f"\n=== Training {fp.name} → {run_dir} ===")
-            train_single_npz(fp, run_dir, profile_dir=args.profile_dir, **hp)
+            train_single_npz(fp, run_dir, profile_dir=args.profile_dir,
+                             resume=args.resume, **hp)
 
     print("\nAll models trained. Checkpoints, logs, and synthetic data are under:", out_root)
 

@@ -88,3 +88,20 @@ def test_synthesize_arbitrary_length():
     x = synthesize(params, cfg, jax.random.key(1), n=5, seq_len=100)
     assert x.shape == (5, 100, 3)
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_resume_continues_gan_phase(tmp_path):
+    fp, X = _make_bucket(tmp_path, n=6, t=16, c=2)
+    out = tmp_path / "run"
+    train_single_npz(fp, out, ae_epochs=1, sup_epochs=1, gan_steps=2, chunk=2,
+                     batch_size=4, acf_max_lag=4)
+    rows1 = (out / "train_log.csv").read_text().strip().split("\n")
+    assert len(rows1) == 3  # header + 2
+    # resume to 4 steps: skips phases 1-2, appends steps 3-4 to the log
+    res = train_single_npz(fp, out, resume=True, ae_epochs=1, sup_epochs=1,
+                           gan_steps=4, chunk=2, batch_size=4, acf_max_lag=4)
+    rows2 = (out / "train_log.csv").read_text().strip().split("\n")
+    assert len(rows2) == 5
+    assert rows2[:3] == rows1
+    assert rows2[3].startswith("3,GAN") and rows2[4].startswith("4,GAN")
+    assert res["best_step"] >= 1
