@@ -27,10 +27,8 @@ replacement per step (shape-static, distribution-equivalent).
 from __future__ import annotations
 
 import dataclasses
-import json
 import time
 from pathlib import Path
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -42,9 +40,8 @@ from eegsynth.losses.timegan import (
     sup_loss, throttle_scale,
 )
 from eegsynth.models.timegan import (
-    TimeGANConfig, adaptive_dims, decode, encode, fused_gen_refine,
-    fused_reconstruct, gen_latent, recover, reconstruct, refine_latent,
-    sample_noise, timegan_init,
+    TimeGANConfig, adaptive_dims, decode, encode, gen_latent, reconstruct,
+    refine_latent, sample_noise, timegan_init,
 )
 from eegsynth.nn.gru import gru_stack_apply
 from eegsynth.nn.spectral_norm import sn_dense_apply
