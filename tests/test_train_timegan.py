@@ -105,3 +105,23 @@ def test_resume_continues_gan_phase(tmp_path):
     assert rows2[:3] == rows1
     assert rows2[3].startswith("3,GAN") and rows2[4].startswith("4,GAN")
     assert res["best_step"] >= 1
+
+
+def test_cli_config_and_flag_overrides(tmp_path, monkeypatch):
+    """scripts/train_timegan.py: config JSON values load; flags override."""
+    import importlib.util
+    import json as _json
+    spec = importlib.util.spec_from_file_location(
+        "train_timegan_cli", "scripts/train_timegan.py")
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(_json.dumps({"gan_steps": 7, "lr_g": 0.5, "seed": 9}))
+    cfg = cli.load_config(cfg_path)
+    assert cfg["gan_steps"] == 7 and cfg["lr_g"] == 0.5
+
+    # missing config → SystemExit (reference main.py:14-15)
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        cli.load_config(tmp_path / "missing.json")
