@@ -43,6 +43,7 @@ class CGANConfig:
     proj_scale: float = 0.25    # v2 uses 0.10
     variant: str = "v1"         # "v1": learned std_weight; "v2": 0.1·std + dropout
     dropout: float = 0.1        # v2 feature dropout
+    arch: str = "conv"          # "conv" (reference parity) | "transformer" extra
 
 
 # ------------------------------ Generator ------------------------------

@@ -1,0 +1,304 @@
+"""Multi-head attention with a Pallas TPU flash-attention kernel.
+
+The BASELINE.json north star asks for "Pallas flash-attention blocks" for a
+posture-conditioned transformer CGAN (a capability the reference's conv CGAN,
+CGAN/cgan.py:194-255, does not have — the reference README merely *claims* a
+transformer). This module provides:
+
+- ``attention_xla``: dense softmax attention (the small-T reference path —
+  XLA fuses it well below ~a few hundred tokens).
+- ``flash_attention``: FlashAttention-2-style Pallas kernel. Forward streams
+  KV blocks through VMEM with an online softmax (running max / normalizer /
+  accumulator live in VMEM scratch across the sequential kv grid dimension);
+  backward is two Pallas kernels (dq gridded over Q blocks; dk/dv gridded
+  over KV blocks) recomputing probabilities from the saved logsumexp, so no
+  O(T²) attention matrix ever hits HBM.
+- ``mha``: impl dispatcher (``set_attention_impl`` mirrors ``nn.gru``'s
+  convention): "auto" uses the Pallas kernel on TPU once T is large enough
+  for blocking to pay (long-token geometries), dense XLA otherwise.
+
+Layout: q, k, v are (B, H, T, Dh), full (non-causal) attention, f32 compute.
+Sequences are zero-padded to a 128 multiple internally; padded KV columns are
+masked at -1e30 before the online softmax and padded Q rows carry zero
+cotangents, so padding never leaks into values or gradients.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _pick_block(t_pad: int) -> int:
+    """Largest of 512/256/128 dividing the padded length — measured on v5e:
+    512-blocks are ~1.9x faster than 128 at T=4096 (5.6ms vs 20.3ms) and the
+    dense path only loses beyond ~512 tokens, so big blocks are what matter."""
+    for b in (512, 256, 128):
+        if t_pad % b == 0:
+            return b
+    return 128
+
+_ATTN_IMPL = "auto"
+
+
+def set_attention_impl(impl: str) -> None:
+    """Select the attention backend for subsequent traces ("xla"/"pallas"/"auto")."""
+    global _ATTN_IMPL
+    assert impl in ("xla", "pallas", "auto"), impl
+    _ATTN_IMPL = impl
+
+
+def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Dense softmax attention, (B,H,T,D) each."""
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def mha(q: jax.Array, k: jax.Array, v: jax.Array, *, impl: str | None = None,
+        interpret: bool = False) -> jax.Array:
+    """Dispatching multi-head attention. ``impl`` overrides the module default."""
+    impl = impl or _ATTN_IMPL
+    if impl == "auto":
+        try:
+            on_tpu = jax.default_backend() not in ("cpu",)
+        except Exception:
+            on_tpu = False
+        # dense attention is faster (and compiles faster through the remote
+        # tunnel) below a few hundred tokens; blocking pays off beyond that
+        impl = "pallas" if (on_tpu and q.shape[2] >= 512) else "xla"
+    if impl == "pallas":
+        return flash_attention(q, k, v, interpret)
+    return attention_xla(q, k, v)
+
+
+# ------------------------------------------------------------------
+# Forward kernel
+# ------------------------------------------------------------------
+
+def _fa_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
+                   *, scale: float, kv_len: int, block: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        m_scr[:] = jnp.full_like(m_scr, _NEG)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    q = q_ref[0]                                   # (BQ, D)
+    k = k_ref[0]                                   # (BK, D)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = j * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, _NEG)
+
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+    acc[:] = acc[:] * alpha + jnp.dot(p, v_ref[0],
+                                      preferred_element_type=jnp.float32)
+    m_scr[:, :1] = m_new
+    l_scr[:, :1] = l_new
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        l_safe = jnp.where(l_scr[:, :1] == 0.0, 1.0, l_scr[:, :1])
+        o_ref[0] = (acc[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:, :1] + jnp.log(l_safe)
+
+
+def _fa_forward(q, k, v, kv_len, interpret):
+    """q,k,v (BH, Tp, D) padded → (o (BH,Tp,D), lse (BH,Tp,1)); kv_len = true T."""
+    bh, tp, d = q.shape
+    blk = _pick_block(tp)
+    nq = nk = tp // blk
+    kernel = partial(_fa_fwd_kernel, scale=d ** -0.5, kv_len=kv_len, block=blk)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, blk, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, 1), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tp, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, tp, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((blk, d), jnp.float32),
+            pltpu.VMEM((blk, 1), jnp.float32),
+            pltpu.VMEM((blk, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+
+
+# ------------------------------------------------------------------
+# Backward kernels
+# ------------------------------------------------------------------
+
+def _fa_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref, dq_ref, acc,
+                  *, scale: float, kv_len: int, block: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = j * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, _NEG)
+    p = jnp.exp(s - lse_ref[0])                    # (BQ, BK)
+    dp = jax.lax.dot_general(do_ref[0], v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - dlt_ref[0]) * scale
+    acc[:] = acc[:] + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0] = acc[:].astype(dq_ref.dtype)
+
+
+def _fa_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dlt_ref,
+                   dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float, kv_len: int,
+                   block: int):
+    i, j = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = i * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, _NEG)
+    p = jnp.exp(s - lse_ref[0])                    # (BQ, BK); padded Q rows have
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),  # zero dO/delta, so
+                             preferred_element_type=jnp.float32)  # they cancel below
+    ds = p * (dp - dlt_ref[0]) * scale
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _fa_backward(q, k, v, o, lse, do, interpret, kv_len):
+    bh, tp, d = q.shape
+    blk = _pick_block(tp)
+    n = tp // blk
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)          # (BH, Tp, 1)
+
+    qspec = pl.BlockSpec((1, blk, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, blk, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((1, blk, 1), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        partial(_fa_dq_kernel, scale=d ** -0.5, kv_len=kv_len, block=blk),
+        grid=(bh, n, n),
+        in_specs=[qspec, kspec, kspec, qspec, rspec, rspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((bh, tp, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((blk, d), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    # kv grid dim outer, q inner: swap index maps accordingly
+    kv_out = pl.BlockSpec((1, blk, d), lambda b, i, j: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    q_in = pl.BlockSpec((1, blk, d), lambda b, i, j: (b, j, 0),
+                        memory_space=pltpu.VMEM)
+    r_in = pl.BlockSpec((1, blk, 1), lambda b, i, j: (b, j, 0),
+                        memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        partial(_fa_dkv_kernel, scale=d ** -0.5, kv_len=kv_len, block=blk),
+        grid=(bh, n, n),
+        in_specs=[kv_out, kv_out, q_in, q_in, r_in, r_in],
+        out_specs=[kv_out, kv_out],
+        out_shape=[jax.ShapeDtypeStruct((bh, tp, d), q.dtype),
+                   jax.ShapeDtypeStruct((bh, tp, d), q.dtype)],
+        scratch_shapes=[pltpu.VMEM((blk, d), jnp.float32),
+                        pltpu.VMEM((blk, d), jnp.float32)],
+        interpret=interpret,
+    )(k, v, q, do, lse, delta)
+    return dq, dk, dv
+
+
+# ------------------------------------------------------------------
+# custom_vjp wrapper (handles padding and the (B,H,T,D) ↔ (BH,Tp,D) reshape)
+# ------------------------------------------------------------------
+
+def _pad_t(x, tp):
+    t = x.shape[1]
+    if t == tp:
+        return x
+    return jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+
+
+def _fa_impl(q, k, v, interpret):
+    b, h, t, d = q.shape
+    tp = -(-t // 128) * 128
+    qq = _pad_t(q.reshape(b * h, t, d).astype(jnp.float32), tp)
+    kk = _pad_t(k.reshape(b * h, t, d).astype(jnp.float32), tp)
+    vv = _pad_t(v.reshape(b * h, t, d).astype(jnp.float32), tp)
+    o, lse = _fa_forward(qq, kk, vv, t, interpret)
+    return o, lse, (qq, kk, vv)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    interpret: bool = False) -> jax.Array:
+    """Blocked online-softmax attention: (B,H,T,D)³ → (B,H,T,D)."""
+    b, h, t, d = q.shape
+    o, _, _ = _fa_impl(q, k, v, interpret)
+    return o[:, :t].reshape(b, h, t, d).astype(q.dtype)
+
+
+def _fa_fwd_rule(q, k, v, interpret):
+    b, h, t, d = q.shape
+    o, lse, (qq, kk, vv) = _fa_impl(q, k, v, interpret)
+    out = o[:, :t].reshape(b, h, t, d).astype(q.dtype)
+    return out, (qq, kk, vv, o, lse)
+
+
+def _fa_bwd_rule(interpret, res, g):
+    qq, kk, vv, o, lse = res
+    b, h, t, d = g.shape
+    do = _pad_t(g.reshape(b * h, t, d).astype(jnp.float32), qq.shape[1])
+    dq, dk, dv = _fa_backward(qq, kk, vv, o, lse, do, interpret, t)
+    unpad = lambda x: x[:, :t].reshape(b, h, t, d).astype(g.dtype)
+    return unpad(dq), unpad(dk), unpad(dv)
+
+
+flash_attention.defvjp(_fa_fwd_rule, _fa_bwd_rule)

@@ -39,12 +39,52 @@ from eegsynth.losses.gan import (
 from eegsynth.losses.spectral import (
     coh_loss_random, cov_loss, posture_conditional_losses, psd_loss,
 )
-from eegsynth.models.cgan import (
-    CGANConfig, disc_apply, disc_features, disc_init, generator_apply, generator_init,
-)
+from eegsynth.models import cgan as _conv_model
+from eegsynth.models import cgan_transformer as _tf_model
+from eegsynth.models.cgan import CGANConfig
+from eegsynth.models.cgan_transformer import TransformerCGANConfig
 from eegsynth.train import checkpoint as ckpt_io
 
 NUM_POSTURES = 9
+
+
+# Both architectures (conv = reference parity, transformer = framework extra)
+# share the apply contracts, so the training loop below is arch-agnostic.
+
+def _model(cfg):
+    return _tf_model if getattr(cfg, "arch", "conv") == "transformer" else _conv_model
+
+
+def generator_init(key, cfg, dtype=jnp.float32):
+    return _model(cfg).generator_init(key, cfg, dtype)
+
+
+def generator_apply(G, bn, z, labels, cfg, train=True):
+    return _model(cfg).generator_apply(G, bn, z, labels, cfg, train=train)
+
+
+def disc_init(key, cfg, dtype=jnp.float32):
+    return _model(cfg).disc_init(key, cfg, dtype)
+
+
+def disc_apply(params, x, labels, cfg, train=True, dropout_key=None):
+    return _model(cfg).disc_apply(params, x, labels, cfg, train=train,
+                                  dropout_key=dropout_key)
+
+
+def disc_features(params, x, cfg, train=True):
+    m = _model(cfg)
+    if m is _tf_model:
+        return m.disc_features(params, x, train=train, cfg=cfg)
+    return m.disc_features(params, x, train=train)
+
+
+def _copy_u(dst, src):
+    """Write advanced spectral-norm power-iteration vectors ("u" leaves) from
+    src back into dst after an optimizer update (u is state, not a weight)."""
+    def pick(path, d, s):
+        return s if getattr(path[-1], "key", None) == "u" else d
+    return jax.tree_util.tree_map_with_path(pick, dst, src)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,6 +123,11 @@ class CGANHParams:
     print_every: int = 20
     seed: int = 42
     variant: str = "v1"          # "v1" | "v2"
+    arch: str = "conv"           # "conv" (reference parity) | "transformer" extra
+    tf_dim: int = 256            # transformer-arch shape knobs
+    tf_depth: int = 4
+    tf_heads: int = 4
+    tf_patch: int = 8
 
 
 V2_OVERRIDES = dict(epochs=600, prewarm=5, lr_g=6e-4, lr_d=8e-5, proj_scale=0.10,
@@ -193,11 +238,7 @@ def make_cgan_epoch(cfg: CGANConfig, hp: CGANHParams, optG, optD,
                 d_loss_fn, has_aux=True)(D)
             d_updates, d_state = optD.update(d_grads, d_state, D)
             D = optax.apply_updates(D, d_updates)
-            # write back advanced power-iteration vectors
-            D = jax.tree_util.tree_map(lambda a: a, D)
-            for name in ("dg", "dl"):
-                for lyr in ("c1", "c2", "c3", "c4", "c5", "fc", "cls"):
-                    D[name][lyr] = {**D[name][lyr], "u": u_new[name][lyr]["u"]}
+            D = _copy_u(D, u_new)  # advanced power-iteration vectors
 
         # ---------------- G step (fp32, cgan.py:445-474) ----------------
         real_g, labels_g = _sample_balanced(ks[12], X, None, table, counts, B, hp.variant)
@@ -218,7 +259,7 @@ def make_cgan_epoch(cfg: CGANConfig, hp: CGANHParams, optG, optD,
                 loss = (g_hinge(gs_g) + g_hinge(gs_l)
                         + hp.g_acgan_weight * (cross_entropy(glog_g, labels_g)
                                                + cross_entropy(glog_l, labels_g)))
-            rfeat, _ = disc_features(D["dg"], real_g, train=False)
+            rfeat, _ = disc_features(D["dg"], real_g, cfg, train=False)
             loss = loss + hp.fm_weight * feature_matching(ffeat, rfeat)
             if hp.variant == "v1":
                 loss = loss + posture_conditional_losses(
@@ -236,9 +277,7 @@ def make_cgan_epoch(cfg: CGANConfig, hp: CGANHParams, optG, optD,
             g_loss_fn, has_aux=True)(G)
         g_updates, g_state = optG.update(g_grads, g_state, G)
         G = optax.apply_updates(G, g_updates)
-        for name in ("dg", "dl"):
-            for lyr in ("c1", "c2", "c3", "c4", "c5", "fc", "cls"):
-                D[name][lyr] = {**D[name][lyr], "u": u_new2[name][lyr]["u"]}
+        D = _copy_u(D, u_new2)
 
         if hp.ema:
             ema = jax.tree_util.tree_map(
@@ -330,10 +369,12 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
     }
 
     def save_generator(path, params, bn_state):
-        ckpt_io.save_checkpoint(path, {"model": params, "bn": bn_state},
-                                {"tag": tag, "variant": hp.variant,
-                                 "num_classes": cfg.num_classes,
-                                 "noise_dim": hp.noise_dim})
+        meta = {"tag": tag, "variant": hp.variant, "num_classes": cfg.num_classes,
+                "noise_dim": hp.noise_dim, "arch": hp.arch}
+        if hp.arch == "transformer":
+            meta.update(tf_dim=hp.tf_dim, tf_depth=hp.tf_depth,
+                        tf_heads=hp.tf_heads, tf_patch=hp.tf_patch)
+        ckpt_io.save_checkpoint(path, {"model": params, "bn": bn_state}, meta)
 
     # Best artifacts are tracked as device references and written to disk only
     # at save_every boundaries and at the end — device→host pulls through the
@@ -398,14 +439,24 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
             "ema": ema, "D": D, "cfg": cfg}
 
 
+def build_cfg(hp: CGANHParams, num_classes: int):
+    """CGANConfig for hp.arch ("conv" parity model or transformer extra)."""
+    if hp.arch == "transformer":
+        return TransformerCGANConfig(
+            noise_dim=hp.noise_dim, num_classes=num_classes,
+            proj_scale=hp.proj_scale, variant=hp.variant, dim=hp.tf_dim,
+            depth=hp.tf_depth, heads=hp.tf_heads, patch=hp.tf_patch)
+    return CGANConfig(noise_dim=hp.noise_dim, num_classes=num_classes,
+                      proj_scale=hp.proj_scale, variant=hp.variant)
+
+
 def train_one_condition(data_dir, save_root, condition: str, log=print,
                         resume: str = "", **hparams) -> dict:
     """v1 entry (cgan.py:335-515): posture-conditional model for one condition."""
     hp = CGANHParams(**{"variant": "v1", **hparams})
     np.random.seed(hp.seed)
     X, y, meta = load_condition_dataset(data_dir, condition)
-    cfg = CGANConfig(noise_dim=hp.noise_dim, num_classes=NUM_POSTURES,
-                     proj_scale=hp.proj_scale, variant="v1")
+    cfg = build_cfg(hp, NUM_POSTURES)
     res = _train_cgan(X, y, cfg, hp, Path(save_root) / condition, condition,
                       label_base=1, resume=resume, log=log)
     res["meta"] = meta
@@ -417,12 +468,30 @@ def train_one_posture(data_dir, runs_root, posture: int, log=print, **hparams) -
     hp = CGANHParams(**{**V2_OVERRIDES, **hparams, "variant": "v2"})
     np.random.seed(hp.seed)
     X, y, meta = load_posture_both_conditions(data_dir, posture)
-    cfg = CGANConfig(noise_dim=hp.noise_dim, num_classes=2,
-                     proj_scale=hp.proj_scale, variant="v2")
+    cfg = build_cfg(hp, 2)
     res = _train_cgan(X, y, cfg, hp, Path(runs_root) / f"posture{posture}",
                       f"posture{posture}", label_base=0, log=log)
     res["meta"] = meta
     return res
+
+
+def load_generator(path, num_classes: int | None = None, variant: str = "v1"):
+    """Rebuild a saved generator of either architecture from its meta.
+
+    Arch/shape come from the checkpoint meta (older checkpoints without an
+    "arch" key load as the conv parity model). Returns (params, bn, cfg, meta).
+    """
+    meta = ckpt_io.load_meta(path)
+    hp = CGANHParams(
+        noise_dim=int(meta.get("noise_dim", 100)),
+        variant=str(meta.get("variant", variant)),
+        arch=str(meta.get("arch", "conv")),
+        tf_dim=int(meta.get("tf_dim", 256)), tf_depth=int(meta.get("tf_depth", 4)),
+        tf_heads=int(meta.get("tf_heads", 4)), tf_patch=int(meta.get("tf_patch", 8)))
+    cfg = build_cfg(hp, int(meta.get("num_classes", num_classes or NUM_POSTURES)))
+    template, bn_t = generator_init(jax.random.key(0), cfg)
+    trees, _ = ckpt_io.load_checkpoint(path, {"model": template, "bn": bn_t})
+    return trees["model"], trees["bn"], cfg, meta
 
 
 def generate_batch(G, bn, cfg: CGANConfig, key, n: int, label: int):

@@ -40,6 +40,12 @@ def save_checkpoint(path: Path | str, trees: dict[str, Any], meta: dict) -> None
     np.savez_compressed(path, **payload)
 
 
+def load_meta(path: Path | str) -> dict:
+    """Read only the JSON meta of a checkpoint (cheap — no tree rebuild)."""
+    with np.load(path) as data:
+        return json.loads(bytes(data["__meta__"]).decode("utf-8"))
+
+
 def load_checkpoint(path: Path | str, templates: dict[str, Any],
                     strict: bool = True):
     """Restore named pytrees into the structure of ``templates``.

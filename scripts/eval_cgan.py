@@ -29,9 +29,7 @@ def main():
     import jax
     from eegsynth.data.datasets import load_condition_dataset
     from eegsynth.eval.cgan_eval import NUM_POSTURES, evaluate_condition
-    from eegsynth.models.cgan import CGANConfig, generator_init
-    from eegsynth.train.cgan import generate_batch
-    from eegsynth.train.checkpoint import load_checkpoint
+    from eegsynth.train.cgan import generate_batch, load_generator
 
     np.random.seed(args.seed)
     conditions = (["with_exo", "no_exo"] if args.condition == "both"
@@ -49,15 +47,12 @@ def main():
             keep = np.concatenate(keep)
             Xr, yr = Xr[keep], yr[keep]
 
-        cfg = CGANConfig(noise_dim=args.noise_dim, num_classes=NUM_POSTURES,
-                         variant="v1")
-        template, bn_template = generator_init(jax.random.key(0), cfg)
         run_dir = Path(args.runs_root) / condition
         gpath = run_dir / f"CGAN_generator_{condition}_best.npz"
         if not gpath.exists():
             gpath = run_dir / f"CGAN_generator_{condition}_last.npz"
-        trees, _ = load_checkpoint(gpath, {"model": template, "bn": bn_template})
-        G, bn = trees["model"], trees["bn"]
+        # arch (conv or transformer) is rebuilt from the checkpoint meta
+        G, bn, cfg, _ = load_generator(gpath, num_classes=NUM_POSTURES)
         print(f"[{condition}] Loaded generator: {gpath}")
 
         key = jax.random.key(args.seed)

@@ -30,19 +30,13 @@ def main():
     from eegsynth.eval.cgan_eval import (
         discriminative_metrics, predictive_scores, scatter_plots, stats_similarity,
     )
-    from eegsynth.models.cgan import CGANConfig, generator_init
-    from eegsynth.train.cgan import generate_batch
-    from eegsynth.train.checkpoint import load_checkpoint
+    from eegsynth.train.cgan import generate_batch, load_generator
 
     np.random.seed(args.seed)
     postures = (range(1, 10) if args.postures == "all"
                 else [int(p) for p in args.postures.split(",")])
     save_root = Path(args.save_root)
     save_root.mkdir(parents=True, exist_ok=True)
-
-    cfg = CGANConfig(noise_dim=args.noise_dim, num_classes=2, proj_scale=0.10,
-                     variant="v2")
-    template, bn_template = generator_init(jax.random.key(0), cfg)
 
     Xr_glob, Xg_glob, yp_glob_r, yp_glob_g = [], [], [], []
     key = jax.random.key(args.seed)
@@ -57,8 +51,8 @@ def main():
         if not gpath.exists():
             print(f"[posture {p}] no generator found under {run_dir}; skipping")
             continue
-        trees, _ = load_checkpoint(gpath, {"model": template, "bn": bn_template})
-        G, bn = trees["model"], trees["bn"]
+        # arch (conv or transformer) is rebuilt from the checkpoint meta
+        G, bn, cfg, _ = load_generator(gpath, num_classes=2, variant="v2")
 
         if args.samples_per_cond.lower() == "match":
             n_synth = min(real[0].shape[0], real[1].shape[0])

@@ -23,6 +23,7 @@ HP_FLAGS = {
     "coh_weight": float, "cov_weight": float, "local_crop": int,
     "fm_weight": float, "ema_decay": float, "lr_decay": float,
     "lr_decay_step": int, "save_every": int, "print_every": int, "seed": int,
+    "arch": str, "tf_dim": int, "tf_depth": int, "tf_heads": int, "tf_patch": int,
 }
 
 
@@ -59,18 +60,14 @@ def generate_for_condition(args):
     import numpy as np
     import jax
     from eegsynth.data.datasets import load_condition_dataset
-    from eegsynth.models.cgan import CGANConfig, generator_init
-    from eegsynth.train.cgan import NUM_POSTURES, generate_batch
-    from eegsynth.train.checkpoint import load_checkpoint
+    from eegsynth.train.cgan import NUM_POSTURES, generate_batch, load_generator
 
     _, _, meta = load_condition_dataset(args.data_dir, args.condition)
-    cfg = CGANConfig(noise_dim=args.noise_dim, num_classes=NUM_POSTURES, variant="v1")
-    template, bn_template = generator_init(jax.random.key(0), cfg)
     gpath = (Path(args.model_path) if args.model_path else
              Path(args.save_root) / args.condition /
              f"CGAN_generator_{args.condition}_best.npz")
-    trees, _ = load_checkpoint(gpath, {"model": template, "bn": bn_template})
-    G, bn = trees["model"], trees["bn"]
+    # arch (conv or transformer) is rebuilt from the checkpoint meta
+    G, bn, cfg, _ = load_generator(gpath, num_classes=NUM_POSTURES)
     print(f"[{args.condition}] Loaded generator: {gpath}")
 
     out_dir = Path(args.save_root) / args.condition / f"generated_{int(time.time())}"

@@ -19,6 +19,7 @@ HP_FLAGS = {
     "psd_weight": float, "coh_weight": float, "cov_weight": float,
     "amp_weight": float, "coh_pairs": int, "ema_decay": float,
     "save_every": int, "seed": int,
+    "arch": str, "tf_dim": int, "tf_depth": int, "tf_heads": int, "tf_patch": int,
 }
 
 
