@@ -58,7 +58,11 @@ def main():
         out, logs = gan_chunk(params, d_state, g_state, best_p, best_l, best_s,
                               sub, jnp.int32(step0),
                               jnp.arange(1, hp.chunk + 1, dtype=jnp.int32), X)
-        jax.block_until_ready(logs)
+        # device→host scalar pull: through the remote TPU attachment,
+        # block_until_ready can acknowledge before execution finishes (and the
+        # runtime dedupes repeated identical dispatches) — only a host read of
+        # a value data-dependent on the whole chunk is a true barrier
+        float(logs[-1, 0])
         return out, logs
 
     carry = (params, d_state, g_state, params, jnp.float32(np.inf),
