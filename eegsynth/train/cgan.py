@@ -121,6 +121,7 @@ class CGANHParams:
     lr_decay_step: int = 200
     save_every: int = 100
     print_every: int = 20
+    epochs_per_dispatch: int = 25  # epochs fused per device dispatch (TPU extra)
     seed: int = 42
     variant: str = "v1"          # "v1" | "v2"
     arch: str = "conv"           # "conv" (reference parity) | "transformer" extra
@@ -166,9 +167,9 @@ def _crop(key, x, L: int, variant: str):
     return jax.lax.dynamic_slice_in_dim(x, start, L, axis=2)
 
 
-def make_cgan_epoch(cfg: CGANConfig, hp: CGANHParams, optG, optD,
-                    steps_per_epoch: int, prewarm: bool):
-    """One jitted epoch: scan over steps_per_epoch (D step then G step)."""
+def _make_epoch_core(cfg: CGANConfig, hp: CGANHParams, optG, optD,
+                     steps_per_epoch: int, prewarm: bool):
+    """One (unjitted) epoch: scan over steps_per_epoch (D step then G step)."""
     B = hp.batch_size
 
     def r1_penalty(d_params, x_in, labels):
@@ -178,11 +179,9 @@ def make_cgan_epoch(cfg: CGANConfig, hp: CGANHParams, optG, optD,
         return 0.5 * jnp.mean(jnp.sum(g.reshape(g.shape[0], -1) ** 2, axis=1))
 
     def one_step(carry, step_idx):
-        (G, bn, D, ema, g_state, d_state, X, y_tab, key) = carry
+        (G, bn, D, ema, g_state, d_state, X, y_tab, sigma, key) = carry
         table, counts = y_tab
         key, *ks = jax.random.split(key, 21)  # ks[0..11] D step, ks[12..19] G step
-
-        sigma = sigma_ref[0]  # traced scalar bound below via closure cell
 
         diag = jnp.zeros((8,))
         d_loss_out = jnp.float32(0.0)
@@ -283,21 +282,61 @@ def make_cgan_epoch(cfg: CGANConfig, hp: CGANHParams, optG, optD,
             ema = jax.tree_util.tree_map(
                 lambda e, g: hp.ema_decay * e + (1.0 - hp.ema_decay) * g, ema, G)
 
-        return (G, bn, D, ema, g_state, d_state, X, y_tab, key), \
+        return (G, bn, D, ema, g_state, d_state, X, y_tab, sigma, key), \
             jnp.concatenate([diag, jnp.stack([g_loss_out, d_loss_out])])
 
-    sigma_ref = [None]
-
-    @jax.jit
-    def epoch_fn(G, bn, D, ema, g_state, d_state, X, table, counts, sigma, key):
-        sigma_ref[0] = sigma
-        carry = (G, bn, D, ema, g_state, d_state, X, (table, counts), key)
+    def epoch_core(G, bn, D, ema, g_state, d_state, X, table, counts, sigma, key):
+        carry = (G, bn, D, ema, g_state, d_state, X, (table, counts), sigma, key)
         carry, logs = jax.lax.scan(one_step, carry,
                                    jnp.arange(steps_per_epoch, dtype=jnp.int32))
-        (G, bn, D, ema, g_state, d_state, _, _, _) = carry
+        (G, bn, D, ema, g_state, d_state, _, _, _, _) = carry
         return G, bn, D, ema, g_state, d_state, logs
 
-    return epoch_fn
+    return epoch_core
+
+
+def make_cgan_epoch(cfg: CGANConfig, hp: CGANHParams, optG, optD,
+                    steps_per_epoch: int, prewarm: bool):
+    """One jitted epoch (kept for tests / external callers)."""
+    return jax.jit(_make_epoch_core(cfg, hp, optG, optD, steps_per_epoch, prewarm))
+
+
+def make_cgan_chunk(cfg: CGANConfig, hp: CGANHParams, optG, optD,
+                    steps_per_epoch: int, prewarm: bool):
+    """K epochs per device dispatch with ON-DEVICE best tracking.
+
+    Through the remote TPU attachment a device→host pull of fresh arrays costs
+    seconds, so the reference's per-epoch best-snapshot + CSV row
+    (cgan.py:490-512) would dominate wall-clock. This scans K epochs in one
+    dispatch, carrying {best G-loss, best (EMA-)G/bn/Dg/Dl} updated with
+    `where`-selects, and returns per-epoch logs (K, steps, 10) for one fetch.
+    """
+    core = _make_epoch_core(cfg, hp, optG, optD, steps_per_epoch, prewarm)
+
+    @jax.jit
+    def chunk_fn(G, bn, D, ema, g_state, d_state, best, X, table, counts,
+                 sigmas, keys):
+        def body(carry, xs):
+            (G, bn, D, ema, g_state, d_state, best) = carry
+            sigma, key = xs
+            G, bn, D, ema, g_state, d_state, logs = core(
+                G, bn, D, ema, g_state, d_state, X, table, counts, sigma, key)
+            if not prewarm:   # reference tracks best only in adversarial epochs
+                g_loss = logs[-1, 8]
+                imp = jnp.logical_and(jnp.isfinite(g_loss), g_loss < best["loss"])
+                snap = {"G": ema if hp.ema else G, "bn": bn,
+                        "dg": D["dg"], "dl": D["dl"]}
+                sel = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(imp, n, o),
+                    snap, {k: best[k] for k in snap})
+                best = {"loss": jnp.where(imp, g_loss, best["loss"]), **sel}
+            return (G, bn, D, ema, g_state, d_state, best), logs
+
+        carry, logs = jax.lax.scan(
+            body, (G, bn, D, ema, g_state, d_state, best), (sigmas, keys))
+        return carry, logs
+
+    return chunk_fn
 
 
 # ------------------------------------------------------------------
@@ -362,9 +401,9 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
         metrics_csv.write_text(METRICS_HEADER_V2 if hp.variant == "v2"
                                else METRICS_HEADER_V1)
 
-    epoch_fns = {
-        False: make_cgan_epoch(cfg, hp, optG, optD, steps, prewarm=False),
-        True: (make_cgan_epoch(cfg, hp, optG, optD, steps, prewarm=True)
+    chunk_fns = {
+        False: make_cgan_chunk(cfg, hp, optG, optD, steps, prewarm=False),
+        True: (make_cgan_chunk(cfg, hp, optG, optD, steps, prewarm=True)
                if hp.prewarm > 0 else None),
     }
 
@@ -376,58 +415,71 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
                         tf_heads=hp.tf_heads, tf_patch=hp.tf_patch)
         ckpt_io.save_checkpoint(path, {"model": params, "bn": bn_state}, meta)
 
-    # Best artifacts are tracked as device references and written to disk only
-    # at save_every boundaries and at the end — device→host pulls through the
-    # remote TPU attachment cost seconds per tree, so a per-epoch best-write
-    # (the reference's behavior, cgan.py:508-512) would dominate the epoch.
-    pending_best = None
+    # Best artifacts live ON DEVICE inside the chunk carry (where-selected per
+    # epoch) and are written to disk only at save_every boundaries and at the
+    # end — device→host pulls through the remote TPU attachment cost seconds
+    # per tree, so the reference's per-epoch best-write (cgan.py:508-512) and
+    # even a per-epoch logs fetch would dominate the epoch.
+    best = {"loss": jnp.float32(best_g), "G": ema if hp.ema else G, "bn": bn,
+            "dg": D["dg"], "dl": D["dl"]}
+    best_dirty = False
 
     def flush_best():
-        nonlocal pending_best
-        if pending_best is None:
+        nonlocal best_dirty
+        if not best_dirty:
             return
-        bG, bbn, bDg, bDl = pending_best
-        save_generator(save_dir / f"CGAN_generator_{tag}_best.npz", bG, bbn)
+        save_generator(save_dir / f"CGAN_generator_{tag}_best.npz",
+                       best["G"], best["bn"])
         ckpt_io.save_checkpoint(save_dir / f"CGAN_globalD_{tag}_best.npz",
-                                {"model": bDg}, {"tag": tag})
+                                {"model": best["dg"]}, {"tag": tag})
         ckpt_io.save_checkpoint(save_dir / f"CGAN_localD_{tag}_best.npz",
-                                {"model": bDl}, {"tag": tag})
-        pending_best = None
+                                {"model": best["dl"]}, {"tag": tag})
+        best_dirty = False
+
+    def sigma_at(e: int) -> float:
+        t = e / max(1, total_epochs - 1)
+        return (1 - t) * hp.inst_noise_start + t * hp.inst_noise_end
 
     t0 = time.perf_counter()
     g_loss = d_loss = float("nan")
-    for ep in range(start_epoch, total_epochs):
+    ep = start_epoch
+    while ep < total_epochs:
         prewarm = ep < hp.prewarm
-        t = ep / max(1, total_epochs - 1)
-        sigma = (1 - t) * hp.inst_noise_start + t * hp.inst_noise_end
+        bound = hp.prewarm if prewarm else total_epochs
+        next_save = (ep // hp.save_every + 1) * hp.save_every
+        k = min(bound, next_save, ep + max(1, hp.epochs_per_dispatch)) - ep
+        sigmas = jnp.asarray([sigma_at(e) for e in range(ep, ep + k)], jnp.float32)
         key, sub = jax.random.split(key)
-        G, bn, D, ema, g_state, d_state, logs = epoch_fns[prewarm](
-            G, bn, D, ema, g_state, d_state, X, table, counts,
-            jnp.float32(sigma), sub)
-        logs = np.asarray(logs)                      # (steps, 10)
-        diag = logs[:, :8].mean(axis=0)
-        g_loss, d_loss = float(logs[-1, 8]), float(logs[-1, 9])
+        keys = jax.random.split(sub, k)
+        (G, bn, D, ema, g_state, d_state, best), logs = chunk_fns[prewarm](
+            G, bn, D, ema, g_state, d_state, best, X, table, counts, sigmas, keys)
+        logs = np.asarray(logs)                      # (k, steps, 10) — one fetch
+        for i in range(k):
+            e = ep + i
+            diag = logs[i, :, :8].mean(axis=0)
+            g_loss, d_loss = float(logs[i, -1, 8]), float(logs[i, -1, 9])
+            if (e + 1) % hp.print_every == 0 or e == 0:
+                log(f"[{tag}] Ep {e+1}/{total_epochs} | D={d_loss:.4f} G={g_loss:.4f} | "
+                    f"Dg(R/F)={diag[0]:.2f}/{diag[1]:.2f} Dl(R/F)={diag[2]:.2f}/{diag[3]:.2f} | "
+                    f"ACGAN G(R/F)={diag[4]:.2f}/{diag[5]:.2f} L(R/F)={diag[6]:.2f}/{diag[7]:.2f}")
+            with open(metrics_csv, "a") as f:
+                f.write(f"{e+1},{g_loss},{d_loss},"
+                        + ",".join(f"{v}" for v in diag) + "\n")
+        ep += k
 
-        if (ep + 1) % hp.print_every == 0 or ep == 0:
-            log(f"[{tag}] Ep {ep+1}/{total_epochs} | D={d_loss:.4f} G={g_loss:.4f} | "
-                f"Dg(R/F)={diag[0]:.2f}/{diag[1]:.2f} Dl(R/F)={diag[2]:.2f}/{diag[3]:.2f} | "
-                f"ACGAN G(R/F)={diag[4]:.2f}/{diag[5]:.2f} L(R/F)={diag[6]:.2f}/{diag[7]:.2f}")
+        if not prewarm:
+            new_best = float(best["loss"])
+            if new_best < best_g:
+                best_g = new_best
+                best_dirty = True
 
-        with open(metrics_csv, "a") as f:
-            f.write(f"{ep+1},{g_loss},{d_loss}," + ",".join(f"{v}" for v in diag) + "\n")
-
-        if (ep + 1) % hp.save_every == 0:
+        if ep % hp.save_every == 0:
             ckpt_io.save_checkpoint(
-                save_dir / f"checkpoint_epoch{ep+1}.npz",
+                save_dir / f"checkpoint_epoch{ep}.npz",
                 {"G": G, "bn": bn, "D": D, "ema": ema, "optG": g_state, "optD": d_state},
-                {"epoch": ep + 1, "g_loss": g_loss, "d_loss": d_loss, "tag": tag})
-            save_generator(save_dir / f"CGAN_generator_{tag}_epoch{ep+1}.npz", G, bn)
+                {"epoch": ep, "g_loss": g_loss, "d_loss": d_loss, "tag": tag})
+            save_generator(save_dir / f"CGAN_generator_{tag}_epoch{ep}.npz", G, bn)
             flush_best()
-
-        if not prewarm and g_loss < best_g:
-            best_g = g_loss
-            # jax arrays are immutable; holding references defers the transfer
-            pending_best = (ema if hp.ema else G, bn, D["dg"], D["dl"])
 
     flush_best()
     save_generator(save_dir / f"CGAN_generator_{tag}_last.npz",

@@ -16,12 +16,23 @@ import jax
 import numpy as np
 
 
+def _pull_leaves(leaves: list) -> list[np.ndarray]:
+    """Device→host fetch of many arrays with overlapped transfers.
+
+    The remote TPU attachment charges per-array round-trip latency: a ~630-leaf
+    train state (157 MB) takes ~45 s with one synchronous ``np.asarray`` per
+    leaf but ~17 s via ``jax.device_get`` on the whole list (async copies
+    pipeline the latency), with no tracing/compilation involved.
+    """
+    return jax.device_get(leaves)
+
+
 def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
     flat = {}
     leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
     for path, leaf in leaves_with_paths:
         key = prefix + jax.tree_util.keystr(path)
-        flat[key] = np.asarray(leaf)
+        flat[key] = leaf
     return flat
 
 
@@ -30,11 +41,15 @@ def save_checkpoint(path: Path | str, trees: dict[str, Any], meta: dict) -> None
 
     Arrays go into one NPZ under ``<name><treepath>`` keys; ``meta`` plus the
     treedefs' structure are restored by unflattening into a caller-provided
-    template (see :func:`load_checkpoint`).
+    template (see :func:`load_checkpoint`). Device arrays are fetched with one
+    fused transfer (see :func:`_pull_leaves`).
     """
-    payload: dict[str, np.ndarray] = {}
+    payload: dict[str, Any] = {}
     for name, tree in trees.items():
         payload.update(_flatten(tree, prefix=name))
+    keys = list(payload)
+    pulled = _pull_leaves([payload[k] for k in keys])
+    payload = dict(zip(keys, pulled))
     payload["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8).copy()
     np.savez_compressed(path, **payload)
