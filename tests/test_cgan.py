@@ -164,3 +164,42 @@ def test_cgan_tiny_end_to_end(tmp_path, variant):
     x = generate_batch(res["ema"], res["bn"], res["cfg"], jax.random.key(0), 3, 0)
     assert x.shape == (3, 14, 768)
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_cgan_resume_continues_epochs(tmp_path):
+    """--resume restores state + epoch counter; the chunked driver picks up
+    mid-run and appends the remaining epochs (cgan.py:372-378 contract)."""
+    import jax
+    import numpy as np
+    from eegsynth.train.cgan import train_one_condition
+
+    rng = np.random.default_rng(1)
+    data_dir = tmp_path / "prep"
+    data_dir.mkdir()
+    for p in range(1, 10):
+        np.savez_compressed(
+            data_dir / f"posture{p}_no_exo.npz",
+            X=rng.uniform(0, 1, (6, 768, 14)).astype(np.float32),
+            posture=np.int32(p), condition="no_exo", fs=np.float32(128.0),
+            ch_names=np.array([f"ch{i}" for i in range(14)], dtype=object),
+            scale_min=np.zeros(14, np.float32),
+            scale_range=np.ones(14, np.float32))
+
+    run_dir = tmp_path / "runs" / "no_exo"
+    train_one_condition(data_dir, tmp_path / "runs", "no_exo",
+                        epochs=2, batch_size=8, save_every=2,
+                        print_every=10, log=lambda *a: None)
+    ckpt = run_dir / "checkpoint_epoch2.npz"
+    assert ckpt.exists()
+    rows1 = (run_dir / "metrics.csv").read_text().strip().split("\n")
+    assert len(rows1) == 3  # header + epochs 1..2
+
+    res = train_one_condition(data_dir, tmp_path / "runs", "no_exo",
+                              epochs=4, batch_size=8, save_every=2,
+                              print_every=10, resume=str(ckpt),
+                              log=lambda *a: None)
+    rows2 = (run_dir / "metrics.csv").read_text().strip().split("\n")
+    assert rows2[:3] == rows1                      # old rows untouched
+    assert [r.split(",")[0] for r in rows2[3:]] == ["3", "4"]
+    assert np.isfinite(res["best_g"])
+    assert (run_dir / "checkpoint_epoch4.npz").exists()
