@@ -30,12 +30,19 @@ def main():
     for k, typ in HP_FLAGS.items():
         p.add_argument(f"--{k.replace('_', '-')}", dest=k, type=typ, default=None)
     p.add_argument("--posture", type=str, default="all", help="'all' or an int 1..9")
+    p.add_argument("--parallel_postures", action="store_true",
+                   help="vmap all posture models into one training run (TPU extra)")
     args = p.parse_args()
 
     hp = {k: getattr(args, k) for k in HP_FLAGS if getattr(args, k) is not None}
 
-    from eegsynth.train.cgan import train_one_posture
     postures = range(1, 10) if args.posture == "all" else [int(args.posture)]
+    if args.parallel_postures:
+        from eegsynth.train.cgan_multi import train_all_postures
+        train_all_postures(args.data_dir, args.runs_root, postures=postures, **hp)
+        return
+
+    from eegsynth.train.cgan import train_one_posture
     for posture in postures:
         train_one_posture(args.data_dir, args.runs_root, posture, **hp)
 
