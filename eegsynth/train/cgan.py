@@ -44,6 +44,7 @@ from eegsynth.models import cgan_transformer as _tf_model
 from eegsynth.models.cgan import CGANConfig
 from eegsynth.models.cgan_transformer import TransformerCGANConfig
 from eegsynth.train import checkpoint as ckpt_io
+from eegsynth.train.sharding import constrain_batch
 
 NUM_POSTURES = 9
 
@@ -168,8 +169,10 @@ def _crop(key, x, L: int, variant: str):
 
 
 def _make_epoch_core(cfg: CGANConfig, hp: CGANHParams, optG, optD,
-                     steps_per_epoch: int, prewarm: bool):
-    """One (unjitted) epoch: scan over steps_per_epoch (D step then G step)."""
+                     steps_per_epoch: int, prewarm: bool, mesh=None):
+    """One (unjitted) epoch: scan over steps_per_epoch (D step then G step).
+    With a mesh, batch-major tensors are sharded over the ``data`` axis and
+    GSPMD inserts the gradient all-reduce (params stay replicated)."""
     B = hp.batch_size
 
     def r1_penalty(d_params, x_in, labels):
@@ -188,7 +191,9 @@ def _make_epoch_core(cfg: CGANConfig, hp: CGANHParams, optG, optD,
 
         if not prewarm:
             real, labels = _sample_balanced(ks[0], X, None, table, counts, B, hp.variant)
-            z = jax.random.normal(ks[1], (B, hp.noise_dim), jnp.float32)
+            real = constrain_batch(real, mesh)
+            z = constrain_batch(jax.random.normal(ks[1], (B, hp.noise_dim),
+                                                  jnp.float32), mesh)
             fake, bn = generator_apply(G, bn, z, labels, cfg, train=True)
             fake = jax.lax.stop_gradient(fake)
 
@@ -241,7 +246,9 @@ def _make_epoch_core(cfg: CGANConfig, hp: CGANHParams, optG, optD,
 
         # ---------------- G step (fp32, cgan.py:445-474) ----------------
         real_g, labels_g = _sample_balanced(ks[12], X, None, table, counts, B, hp.variant)
-        z2 = jax.random.normal(ks[13], (B, hp.noise_dim), jnp.float32)
+        real_g = constrain_batch(real_g, mesh)
+        z2 = constrain_batch(jax.random.normal(ks[13], (B, hp.noise_dim),
+                                               jnp.float32), mesh)
 
         def g_loss_fn(G):
             fake2, bn_new = generator_apply(G, bn, z2, labels_g, cfg, train=True)
@@ -296,13 +303,14 @@ def _make_epoch_core(cfg: CGANConfig, hp: CGANHParams, optG, optD,
 
 
 def make_cgan_epoch(cfg: CGANConfig, hp: CGANHParams, optG, optD,
-                    steps_per_epoch: int, prewarm: bool):
+                    steps_per_epoch: int, prewarm: bool, mesh=None):
     """One jitted epoch (kept for tests / external callers)."""
-    return jax.jit(_make_epoch_core(cfg, hp, optG, optD, steps_per_epoch, prewarm))
+    return jax.jit(_make_epoch_core(cfg, hp, optG, optD, steps_per_epoch,
+                                    prewarm, mesh))
 
 
 def make_cgan_chunk(cfg: CGANConfig, hp: CGANHParams, optG, optD,
-                    steps_per_epoch: int, prewarm: bool):
+                    steps_per_epoch: int, prewarm: bool, mesh=None):
     """K epochs per device dispatch with ON-DEVICE best tracking.
 
     Through the remote TPU attachment a device→host pull of fresh arrays costs
@@ -311,7 +319,7 @@ def make_cgan_chunk(cfg: CGANConfig, hp: CGANHParams, optG, optD,
     dispatch, carrying {best G-loss, best (EMA-)G/bn/Dg/Dl} updated with
     `where`-selects, and returns per-epoch logs (K, steps, 10) for one fetch.
     """
-    core = _make_epoch_core(cfg, hp, optG, optD, steps_per_epoch, prewarm)
+    core = _make_epoch_core(cfg, hp, optG, optD, steps_per_epoch, prewarm, mesh)
 
     @jax.jit
     def chunk_fn(G, bn, D, ema, g_state, d_state, best, X, table, counts,
@@ -350,7 +358,8 @@ METRICS_HEADER_V2 = ("epoch,g_loss,d_loss,Dg_R,Dg_F,Dl_R,Dl_F,ACg_R,ACg_F,ACl_R,
 
 
 def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
-                tag: str, label_base: int, resume: str = "", log=print) -> dict:
+                tag: str, label_base: int, resume: str = "", log=print,
+                mesh=None) -> dict:
     """Shared driver: tag is '{condition}' (v1) or 'posture{p}' (v2)."""
     save_dir.mkdir(parents=True, exist_ok=True)
     with open(save_dir / "hparams.json", "w") as f:
@@ -402,8 +411,8 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
                                else METRICS_HEADER_V1)
 
     chunk_fns = {
-        False: make_cgan_chunk(cfg, hp, optG, optD, steps, prewarm=False),
-        True: (make_cgan_chunk(cfg, hp, optG, optD, steps, prewarm=True)
+        False: make_cgan_chunk(cfg, hp, optG, optD, steps, prewarm=False, mesh=mesh),
+        True: (make_cgan_chunk(cfg, hp, optG, optD, steps, prewarm=True, mesh=mesh)
                if hp.prewarm > 0 else None),
     }
 
@@ -503,26 +512,27 @@ def build_cfg(hp: CGANHParams, num_classes: int):
 
 
 def train_one_condition(data_dir, save_root, condition: str, log=print,
-                        resume: str = "", **hparams) -> dict:
+                        resume: str = "", mesh=None, **hparams) -> dict:
     """v1 entry (cgan.py:335-515): posture-conditional model for one condition."""
     hp = CGANHParams(**{"variant": "v1", **hparams})
     np.random.seed(hp.seed)
     X, y, meta = load_condition_dataset(data_dir, condition)
     cfg = build_cfg(hp, NUM_POSTURES)
     res = _train_cgan(X, y, cfg, hp, Path(save_root) / condition, condition,
-                      label_base=1, resume=resume, log=log)
+                      label_base=1, resume=resume, log=log, mesh=mesh)
     res["meta"] = meta
     return res
 
 
-def train_one_posture(data_dir, runs_root, posture: int, log=print, **hparams) -> dict:
+def train_one_posture(data_dir, runs_root, posture: int, log=print, mesh=None,
+                      **hparams) -> dict:
     """v2 entry (cgan_v2.py:253-364): condition-conditional model per posture."""
     hp = CGANHParams(**{**V2_OVERRIDES, **hparams, "variant": "v2"})
     np.random.seed(hp.seed)
     X, y, meta = load_posture_both_conditions(data_dir, posture)
     cfg = build_cfg(hp, 2)
     res = _train_cgan(X, y, cfg, hp, Path(runs_root) / f"posture{posture}",
-                      f"posture{posture}", label_base=0, log=log)
+                      f"posture{posture}", label_base=0, log=log, mesh=mesh)
     res["meta"] = meta
     return res
 

@@ -51,3 +51,48 @@ def test_data_parallel_matches_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(params_mesh),
                     jax.tree_util.tree_leaves(params_single)):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
+def test_cgan_data_parallel_matches_single_device():
+    """Same CGAN epoch (transformer arch, v1 losses) with and without an
+    8-device data mesh must agree to float tolerance."""
+    import optax
+    from eegsynth.data.datasets import build_label_table
+    from eegsynth.train.cgan import (
+        CGANHParams, build_cfg, disc_init, generator_init, make_cgan_epoch,
+    )
+
+    assert len(jax.devices()) >= 8
+    hp = CGANHParams(batch_size=16, arch="transformer", variant="v1",
+                     tf_dim=32, tf_depth=1, tf_heads=2, tf_patch=8,
+                     local_crop=256, use_diffaugment=False)
+    cfg = build_cfg(hp, 9)
+    key = jax.random.key(0)
+    G0, bn0 = generator_init(key, cfg)
+    D0 = {"dg": disc_init(jax.random.fold_in(key, 1), cfg),
+          "dl": disc_init(jax.random.fold_in(key, 2), cfg)}
+    X = jax.random.uniform(jax.random.key(1), (36, 14, 768), jnp.float32)
+    y = np.repeat(np.arange(1, 10), 4)
+    tab_np, cnt_np = build_label_table(y, 9, 1)
+
+    def run(mesh):
+        G, bn, D = G0, bn0, D0
+        X_, tab, cnt = X, jnp.asarray(tab_np), jnp.asarray(cnt_np, jnp.float32)
+        if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            G, D, X_ = jax.device_put((G, D, X_), repl)
+        optG, optD = optax.adam(1e-4), optax.adam(1e-4)
+        ema = jax.tree_util.tree_map(lambda a: a, G)
+        epoch = make_cgan_epoch(cfg, hp, optG, optD, 2, prewarm=False, mesh=mesh)
+        G, bn, D, ema, _, _, logs = epoch(G, bn, D, ema, optG.init(G),
+                                          optD.init(D), X_, tab, cnt,
+                                          jnp.float32(0.1), jax.random.key(7))
+        return np.asarray(logs), jax.tree_util.tree_map(np.asarray, G)
+
+    logs_single, G_single = run(None)
+    logs_mesh, G_mesh = run(data_mesh(jax.devices()[:8]))
+    assert np.isfinite(logs_single).all()
+    np.testing.assert_allclose(logs_mesh, logs_single, rtol=2e-4, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(G_mesh),
+                    jax.tree_util.tree_leaves(G_single)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
