@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from eegsynth.models.cgan import CGANConfig
 from eegsynth.nn.attention import mha
-from eegsynth.nn.layers import torch_dense_init
+from eegsynth.nn.layers import dense_apply, torch_dense_init
 from eegsynth.nn.spectral_norm import _l2_normalize, spectral_normalize
 
 
@@ -65,8 +65,7 @@ def _zeros_dense(in_dim, out_dim, dtype):
     return {"w": jnp.zeros((out_dim, in_dim), dtype), "b": jnp.zeros((out_dim,), dtype)}
 
 
-def _dense(p, x):
-    return x @ p["w"].T + p["b"]
+_dense = dense_apply   # same {w, b} torch layout as every dense in nn.layers
 
 
 def _attn_init(key, dim, dtype):
@@ -112,8 +111,8 @@ def generator_init(key: jax.Array, cfg: TransformerCGANConfig, dtype=jnp.float32
     }
     for i in range(cfg.depth):
         params[f"blk{i}"] = {
-            "attn": _attn_init(ks[3 + 3 * i], dim, dtype),
-            "mlp": _mlp_init(ks[4 + 3 * i], dim, hidden, dtype),
+            "attn": _attn_init(ks[4 + 3 * i], dim, dtype),
+            "mlp": _mlp_init(ks[5 + 3 * i], dim, hidden, dtype),
             "ada": _zeros_dense(dim, 6 * dim, dtype),        # adaLN-zero
         }
     return params, {}      # no running stats (BN-free by construction)

@@ -138,6 +138,32 @@ V2_OVERRIDES = dict(epochs=600, prewarm=5, lr_g=6e-4, lr_d=8e-5, proj_scale=0.10
                     cov_weight=0.3, amp_weight=0.5, fm_weight=50.0, variant="v2")
 
 
+def sigma_at(hp: CGANHParams, total_epochs: int, e: int) -> float:
+    """Linear instance-noise schedule (cgan.py:386-387)."""
+    t = e / max(1, total_epochs - 1)
+    return (1 - t) * hp.inst_noise_start + t * hp.inst_noise_end
+
+
+def make_lr(hp: CGANHParams, steps_per_epoch: int, base: float):
+    """torch StepLR stepped once per epoch (cgan.py:348-349,476), expressed
+    over the optax update count."""
+    if hp.lr_decay >= 1.0:
+        return base
+    return lambda count: base * hp.lr_decay ** (
+        (count // steps_per_epoch) // hp.lr_decay_step)
+
+
+def generator_meta(hp: CGANHParams, num_classes: int, tag: str) -> dict:
+    """Checkpoint meta sufficient to rebuild the generator (load_generator)."""
+    meta = {"tag": tag, "variant": hp.variant, "num_classes": num_classes,
+            "noise_dim": hp.noise_dim, "arch": hp.arch,
+            "proj_scale": hp.proj_scale}
+    if hp.arch == "transformer":
+        meta.update(tf_dim=hp.tf_dim, tf_depth=hp.tf_depth,
+                    tf_heads=hp.tf_heads, tf_patch=hp.tf_patch)
+    return meta
+
+
 def _sample_balanced(key, X, y, table, counts, batch: int, variant: str):
     """On-device balanced batch. v1: uniform class then uniform row within class
     (cgan.py:143-148). v2: half/half over 2 conditions (cgan_v2.py:106-113).
@@ -373,15 +399,8 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
 
     steps_for_sched = max(1, X_np.shape[0] // hp.batch_size)
 
-    def _lr(base):
-        if hp.lr_decay >= 1.0:
-            return base
-        # torch StepLR stepped once per epoch (cgan.py:348-349,476)
-        return lambda count: base * hp.lr_decay ** (
-            (count // steps_for_sched) // hp.lr_decay_step)
-
-    optG = optax.adam(_lr(hp.lr_g), b1=hp.beta1, b2=hp.beta2)
-    optD = optax.adam(_lr(hp.lr_d), b1=hp.beta1, b2=hp.beta2)
+    optG = optax.adam(make_lr(hp, steps_for_sched, hp.lr_g), b1=hp.beta1, b2=hp.beta2)
+    optD = optax.adam(make_lr(hp, steps_for_sched, hp.lr_d), b1=hp.beta1, b2=hp.beta2)
     g_state = optG.init(G)
     d_state = optD.init(D)
 
@@ -417,12 +436,8 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
     }
 
     def save_generator(path, params, bn_state):
-        meta = {"tag": tag, "variant": hp.variant, "num_classes": cfg.num_classes,
-                "noise_dim": hp.noise_dim, "arch": hp.arch}
-        if hp.arch == "transformer":
-            meta.update(tf_dim=hp.tf_dim, tf_depth=hp.tf_depth,
-                        tf_heads=hp.tf_heads, tf_patch=hp.tf_patch)
-        ckpt_io.save_checkpoint(path, {"model": params, "bn": bn_state}, meta)
+        ckpt_io.save_checkpoint(path, {"model": params, "bn": bn_state},
+                                generator_meta(hp, cfg.num_classes, tag))
 
     # Best artifacts live ON DEVICE inside the chunk carry (where-selected per
     # epoch) and are written to disk only at save_every boundaries and at the
@@ -445,10 +460,6 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
                                 {"model": best["dl"]}, {"tag": tag})
         best_dirty = False
 
-    def sigma_at(e: int) -> float:
-        t = e / max(1, total_epochs - 1)
-        return (1 - t) * hp.inst_noise_start + t * hp.inst_noise_end
-
     t0 = time.perf_counter()
     g_loss = d_loss = float("nan")
     ep = start_epoch
@@ -457,7 +468,8 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
         bound = hp.prewarm if prewarm else total_epochs
         next_save = (ep // hp.save_every + 1) * hp.save_every
         k = min(bound, next_save, ep + max(1, hp.epochs_per_dispatch)) - ep
-        sigmas = jnp.asarray([sigma_at(e) for e in range(ep, ep + k)], jnp.float32)
+        sigmas = jnp.asarray([sigma_at(hp, total_epochs, e)
+                              for e in range(ep, ep + k)], jnp.float32)
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, k)
         (G, bn, D, ema, g_state, d_state, best), logs = chunk_fns[prewarm](
@@ -544,9 +556,11 @@ def load_generator(path, num_classes: int | None = None, variant: str = "v1"):
     "arch" key load as the conv parity model). Returns (params, bn, cfg, meta).
     """
     meta = ckpt_io.load_meta(path)
+    var = str(meta.get("variant", variant))
     hp = CGANHParams(
         noise_dim=int(meta.get("noise_dim", 100)),
-        variant=str(meta.get("variant", variant)),
+        variant=var,
+        proj_scale=float(meta.get("proj_scale", 0.10 if var == "v2" else 0.25)),
         arch=str(meta.get("arch", "conv")),
         tf_dim=int(meta.get("tf_dim", 256)), tf_depth=int(meta.get("tf_depth", 4)),
         tf_heads=int(meta.get("tf_heads", 4)), tf_patch=int(meta.get("tf_patch", 8)))

@@ -34,7 +34,7 @@ from eegsynth.data.datasets import build_label_table, load_posture_both_conditio
 from eegsynth.train import checkpoint as ckpt_io
 from eegsynth.train.cgan import (
     CGANHParams, METRICS_HEADER_V2, V2_OVERRIDES, _make_epoch_core, build_cfg,
-    disc_init, generator_init,
+    disc_init, generator_init, generator_meta, make_lr, sigma_at,
 )
 
 NUM_POSTURES = 9
@@ -114,13 +114,13 @@ def train_all_postures(data_dir, runs_root, postures=None, log=print,
         f"{total_epochs} epochs")
 
     keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.key(hp.seed), i))(
-        jnp.arange(P))
+        jnp.asarray(postures))   # keyed by posture id → subset runs reproduce
     G, bn = jax.vmap(lambda k: generator_init(k, cfg))(keys)
     D = {"dg": jax.vmap(lambda k: disc_init(jax.random.fold_in(k, 1), cfg))(keys),
          "dl": jax.vmap(lambda k: disc_init(jax.random.fold_in(k, 2), cfg))(keys)}
     ema = jax.tree_util.tree_map(lambda a: a, G)
-    optG = optax.adam(hp.lr_g, b1=hp.beta1, b2=hp.beta2)
-    optD = optax.adam(hp.lr_d, b1=hp.beta1, b2=hp.beta2)
+    optG = optax.adam(make_lr(hp, steps, hp.lr_g), b1=hp.beta1, b2=hp.beta2)
+    optD = optax.adam(make_lr(hp, steps, hp.lr_d), b1=hp.beta1, b2=hp.beta2)
     g_state = jax.vmap(optG.init)(G)
     d_state = jax.vmap(optD.init)(D)
     best = {"loss": jnp.full((P,), jnp.inf, jnp.float32),
@@ -144,12 +144,8 @@ def train_all_postures(data_dir, runs_root, postures=None, log=print,
     }
 
     def save_generator(path, params, bn_state, tag):
-        meta = {"tag": tag, "variant": hp.variant, "num_classes": 2,
-                "noise_dim": hp.noise_dim, "arch": hp.arch}
-        if hp.arch == "transformer":
-            meta.update(tf_dim=hp.tf_dim, tf_depth=hp.tf_depth,
-                        tf_heads=hp.tf_heads, tf_patch=hp.tf_patch)
-        ckpt_io.save_checkpoint(path, {"model": params, "bn": bn_state}, meta)
+        ckpt_io.save_checkpoint(path, {"model": params, "bn": bn_state},
+                                generator_meta(hp, 2, tag))
 
     def slice_p(tree, i):
         return jax.tree_util.tree_map(lambda a: a[i], tree)
@@ -167,10 +163,6 @@ def train_all_postures(data_dir, runs_root, postures=None, log=print,
             ckpt_io.save_checkpoint(d / f"CGAN_localD_{tag}_best.npz",
                                     {"model": slice_p(host["dl"], i)}, {"tag": tag})
 
-    def sigma_at(e: int) -> float:
-        t = e / max(1, total_epochs - 1)
-        return (1 - t) * hp.inst_noise_start + t * hp.inst_noise_end
-
     key = jax.random.key(hp.seed + 1)
     t0 = time.perf_counter()
     ep = 0
@@ -179,7 +171,8 @@ def train_all_postures(data_dir, runs_root, postures=None, log=print,
         bound = hp.prewarm if prewarm else total_epochs
         next_save = (ep // hp.save_every + 1) * hp.save_every
         k = min(bound, next_save, ep + max(1, hp.epochs_per_dispatch)) - ep
-        sigmas = jnp.asarray([sigma_at(e) for e in range(ep, ep + k)], jnp.float32)
+        sigmas = jnp.asarray([sigma_at(hp, total_epochs, e)
+                              for e in range(ep, ep + k)], jnp.float32)
         key, sub = jax.random.split(key)
         ekeys = jax.vmap(lambda kk: jax.random.split(kk, P))(
             jax.random.split(sub, k))                       # (k, P)

@@ -27,7 +27,9 @@ def _pull_leaves(leaves: list) -> list[np.ndarray]:
     return jax.device_get(leaves)
 
 
-def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
+def _flatten(tree: Any, prefix: str = "") -> dict[str, Any]:
+    """Path-keyed leaves, NOT materialized to host — save_checkpoint pulls
+    them in one batched transfer via _pull_leaves."""
     flat = {}
     leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
     for path, leaf in leaves_with_paths:

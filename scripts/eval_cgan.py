@@ -21,7 +21,8 @@ def main():
     ap.add_argument("--condition", type=str, default="both",
                     choices=["both", "with_exo", "no_exo"])
     ap.add_argument("--samples-per-posture", type=int, default=400)
-    ap.add_argument("--noise-dim", type=int, default=100)
+    ap.add_argument("--noise-dim", type=int, default=100,
+                   help="unused: noise_dim is read from checkpoint meta")
     ap.add_argument("--tsne-perplexity", type=float, default=30.0)
     ap.add_argument("--seed", type=int, default=123)
     args = ap.parse_args()

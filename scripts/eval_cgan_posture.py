@@ -21,7 +21,8 @@ def main():
     ap.add_argument("--save-root", type=str, default="./cgan_eval_posture")
     ap.add_argument("--postures", type=str, default="all")
     ap.add_argument("--samples-per-cond", type=str, default="match")
-    ap.add_argument("--noise-dim", type=int, default=100)
+    ap.add_argument("--noise-dim", type=int, default=100,
+                   help="unused: noise_dim is read from checkpoint meta")
     ap.add_argument("--seed", type=int, default=123)
     args = ap.parse_args()
 

@@ -47,7 +47,8 @@ def get_args():
     g.add_argument("--save-root", type=str, default="./cgan_runs")
     g.add_argument("--condition", type=str, required=True, choices=["with_exo", "no_exo"])
     g.add_argument("--model-path", type=str, default="")
-    g.add_argument("--noise-dim", type=int, default=100)
+    g.add_argument("--noise-dim", type=int, default=100,
+                   help="unused: noise_dim is read from checkpoint meta")
     g.add_argument("--num-per-posture", type=int, default=100)
     g.add_argument("--inverse-scale", action="store_true")
     g.add_argument("--seed", type=int, default=123)

@@ -30,7 +30,8 @@ def main():
     for k, typ in HP_FLAGS.items():
         p.add_argument(f"--{k.replace('_', '-')}", dest=k, type=typ, default=None)
     p.add_argument("--posture", type=str, default="all", help="'all' or an int 1..9")
-    p.add_argument("--parallel_postures", action="store_true",
+    p.add_argument("--parallel-postures", "--parallel_postures",
+                   dest="parallel_postures", action="store_true",
                    help="vmap all posture models into one training run (TPU extra)")
     args = p.parse_args()
 
