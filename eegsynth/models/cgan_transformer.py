@@ -186,7 +186,12 @@ def disc_features(params, x: jax.Array, train: bool = True, *,
     h = _dense(params["embed_in"], h) + params["pos"][None, :l]
     for i in range(cfg.depth):
         blk = params[f"blk{i}"]
-        h = h + _attn_apply(blk["attn"], _ln(h), cfg.heads, cfg.attn_impl)
+        # Discriminator attention pins the XLA path: the R1 penalty
+        # differentiates the D twice and the flash kernel's custom VJP is
+        # first-order only (same rationale as the GRU discriminator,
+        # README "TPU-first design notes"). D sees ≤96 tokens, where dense
+        # is the faster path anyway.
+        h = h + _attn_apply(blk["attn"], _ln(h), cfg.heads, "xla")
         h = h + _mlp_apply(blk["mlp"], _ln(h))
     h = _ln(h) * params["ln_g"] + params["ln_b"]
     return jnp.mean(h, axis=1), params

@@ -17,6 +17,10 @@ transformer). This module provides:
   convention): "auto" uses the Pallas kernel on TPU once T is large enough
   for blocking to pay (long-token geometries), dense XLA otherwise.
 
+The custom VJP is exact but FIRST-ORDER only: paths that differentiate twice
+(e.g. an R1 penalty through a discriminator) must use the dense XLA impl —
+the transformer discriminator pins it for exactly this reason.
+
 Layout: q, k, v are (B, H, T, Dh), full (non-causal) attention, f32 compute.
 Sequences are zero-padded to a 128 multiple internally; padded KV columns are
 masked at -1e30 before the online softmax and padded Q rows carry zero

@@ -152,3 +152,27 @@ def test_conv_checkpoints_still_load(tmp_path):
     _, _, cfg2, _ = load_generator(path)
     assert not isinstance(cfg2, TransformerCGANConfig)
     assert cfg2.arch == "conv"
+
+
+def test_disc_r1_works_with_pallas_impl_forced(rng):
+    """R1 differentiates the D twice; the flash kernel's custom VJP is
+    first-order only, so the discriminator trunk must pin the XLA attention
+    path even when the global impl is forced to pallas."""
+    from eegsynth.nn.attention import set_attention_impl
+
+    cfg = _cfg(num_classes=9)
+    D = disc_init(jax.random.key(1), cfg)
+    x = jnp.asarray(rng.random((4, 14, 768)).astype(np.float32))
+    labels = jnp.zeros(4, jnp.int32)
+
+    set_attention_impl("pallas")
+    try:
+        def r1(xx):
+            def score(x_in):
+                return jnp.sum(disc_apply(D, x_in, labels, cfg, train=False)[0])
+            g = jax.grad(score)(xx)
+            return jnp.sum(g ** 2)
+        val, grad = jax.value_and_grad(r1)(x)   # second-order through the trunk
+        assert bool(jnp.isfinite(val)) and bool(jnp.all(jnp.isfinite(grad)))
+    finally:
+        set_attention_impl("auto")
