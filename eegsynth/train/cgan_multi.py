@@ -99,8 +99,13 @@ def _make_multi_chunk(cfg, hp, optG, optD, steps: int, prewarm: bool):
 
 
 def train_all_postures(data_dir, runs_root, postures=None, log=print,
-                       **hparams) -> dict:
-    """Vmapped v2 training: one dispatch advances every posture model."""
+                       mesh=None, **hparams) -> dict:
+    """Vmapped v2 training: one dispatch advances every posture model.
+
+    With a ``mesh``, the POSTURE axis shards over the mesh's ``data`` axis —
+    each device trains its own posture models (padded by repeating the last
+    posture up to a mesh-size multiple; padding replicas write no artifacts).
+    """
     hp = CGANHParams(**{**V2_OVERRIDES, **hparams, "variant": "v2"})
     postures = list(postures or range(1, NUM_POSTURES + 1))
     cfg = build_cfg(hp, 2)
@@ -108,13 +113,22 @@ def train_all_postures(data_dir, runs_root, postures=None, log=print,
 
     X, table, counts, metas, n_per = _stack_postures(data_dir, postures)
     P = len(postures)
+    pad_ids = list(postures)
+    if mesh is not None:
+        pad = (-P) % mesh.devices.size
+        if pad:
+            X = jnp.concatenate([X] + [X[-1:]] * pad, axis=0)
+            table = jnp.concatenate([table] + [table[-1:]] * pad, axis=0)
+            counts = jnp.concatenate([counts] + [counts[-1:]] * pad, axis=0)
+            pad_ids += [postures[-1]] * pad
+    P_all = len(pad_ids)
     steps = max(1, max(n // hp.batch_size for n in n_per))
     total_epochs = hp.prewarm + hp.epochs
-    log(f"[multi] {P} postures, N={n_per}, steps/epoch {steps} (uniform), "
-        f"{total_epochs} epochs")
+    log(f"[multi] {P} postures (+{P_all - P} pad), N={n_per}, "
+        f"steps/epoch {steps} (uniform), {total_epochs} epochs")
 
     keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.key(hp.seed), i))(
-        jnp.asarray(postures))   # keyed by posture id → subset runs reproduce
+        jnp.asarray(pad_ids))    # keyed by posture id → subset runs reproduce
     G, bn = jax.vmap(lambda k: generator_init(k, cfg))(keys)
     D = {"dg": jax.vmap(lambda k: disc_init(jax.random.fold_in(k, 1), cfg))(keys),
          "dl": jax.vmap(lambda k: disc_init(jax.random.fold_in(k, 2), cfg))(keys)}
@@ -123,8 +137,14 @@ def train_all_postures(data_dir, runs_root, postures=None, log=print,
     optD = optax.adam(make_lr(hp, steps, hp.lr_d), b1=hp.beta1, b2=hp.beta2)
     g_state = jax.vmap(optG.init)(G)
     d_state = jax.vmap(optD.init)(D)
-    best = {"loss": jnp.full((P,), jnp.inf, jnp.float32),
+    best = {"loss": jnp.full((P_all,), jnp.inf, jnp.float32),
             "G": ema, "bn": bn, "dg": D["dg"], "dl": D["dl"]}
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+        shard = NamedSharding(mesh, Pspec("data"))
+        (X, table, counts, G, bn, D, ema, g_state, d_state, best) = jax.device_put(
+            (X, table, counts, G, bn, D, ema, g_state, d_state, best), shard)
 
     dirs = []
     for p in postures:
@@ -174,8 +194,8 @@ def train_all_postures(data_dir, runs_root, postures=None, log=print,
         sigmas = jnp.asarray([sigma_at(hp, total_epochs, e)
                               for e in range(ep, ep + k)], jnp.float32)
         key, sub = jax.random.split(key)
-        ekeys = jax.vmap(lambda kk: jax.random.split(kk, P))(
-            jax.random.split(sub, k))                       # (k, P)
+        ekeys = jax.vmap(lambda kk: jax.random.split(kk, P_all))(
+            jax.random.split(sub, k))                       # (k, P_all)
         (G, bn, D, ema, g_state, d_state, best), logs = chunk_fns[prewarm](
             G, bn, D, ema, g_state, d_state, best, X, table, counts, sigmas, ekeys)
         logs = np.asarray(logs)                             # (k, P, steps, 10)
@@ -188,7 +208,7 @@ def train_all_postures(data_dir, runs_root, postures=None, log=print,
                     f.write(f"{e+1},{gl},{dl_},"
                             + ",".join(f"{v}" for v in diag) + "\n")
             if (e + 1) % hp.print_every == 0 or e == 0:
-                gl = logs[i, :, -1, 8]
+                gl = logs[i, :P, -1, 8]
                 log(f"[multi] Ep {e+1}/{total_epochs} | G per posture "
                     + " ".join(f"{v:.2f}" for v in gl))
         ep += k
@@ -208,7 +228,7 @@ def train_all_postures(data_dir, runs_root, postures=None, log=print,
                        f"posture{p}")
     dt = time.perf_counter() - t0
     agg = total_epochs * steps * P / dt if dt > 0 else float("nan")
-    best_host = np.asarray(jax.device_get(best["loss"]))
+    best_host = np.asarray(jax.device_get(best["loss"]))[:P]   # drop mesh pads
     log(f"[multi] Done in {dt:.1f}s — {agg:.1f} aggregate steps/s; "
         f"best G per posture: {np.round(best_host, 3).tolist()}")
     return {"best_g": best_host, "aggregate_steps_per_sec": agg,

@@ -33,6 +33,9 @@ def main():
     p.add_argument("--parallel-postures", "--parallel_postures",
                    dest="parallel_postures", action="store_true",
                    help="vmap all posture models into one training run (TPU extra)")
+    p.add_argument("--mesh", action="store_true",
+                   help="with --parallel-postures: shard the posture axis over "
+                        "all local devices")
     args = p.parse_args()
 
     hp = {k: getattr(args, k) for k in HP_FLAGS if getattr(args, k) is not None}
@@ -40,7 +43,12 @@ def main():
     postures = range(1, 10) if args.posture == "all" else [int(args.posture)]
     if args.parallel_postures:
         from eegsynth.train.cgan_multi import train_all_postures
-        train_all_postures(args.data_dir, args.runs_root, postures=postures, **hp)
+        mesh = None
+        if args.mesh:
+            from eegsynth.train.sharding import data_mesh
+            mesh = data_mesh()
+        train_all_postures(args.data_dir, args.runs_root, postures=postures,
+                           mesh=mesh, **hp)
         return
 
     from eegsynth.train.cgan import train_one_posture

@@ -51,3 +51,20 @@ def test_parallel_postures_end_to_end(tmp_path, posture_data):
     G2 = np.load(tmp_path / "runs/posture2/CGAN_generator_posture2_last.npz")
     key = [k for k in G1.files if k.endswith("['tok']")][0]
     assert not np.allclose(G1[key], G2[key])
+
+
+def test_parallel_postures_mesh_sharded(tmp_path, posture_data):
+    """Posture axis sharded over an 8-device mesh: 2 postures pad to 8
+    replicas; only real posture artifacts are written; best is unpadded."""
+    from eegsynth.train.cgan_multi import train_all_postures
+    from eegsynth.train.sharding import data_mesh
+
+    res = train_all_postures(posture_data, tmp_path / "runs", postures=[1, 2],
+                             mesh=data_mesh(jax.devices()[:8]),
+                             epochs=1, prewarm=0, batch_size=8, save_every=2,
+                             print_every=10, arch="transformer", tf_dim=32,
+                             tf_depth=1, tf_heads=2, tf_patch=8,
+                             log=lambda *a: None)
+    assert res["best_g"].shape == (2,) and np.all(np.isfinite(res["best_g"]))
+    assert sorted(d.name for d in (tmp_path / "runs").iterdir()) == \
+        ["posture1", "posture2"]
