@@ -41,6 +41,8 @@ def main():
 
     runs_root = Path(args.runs_dir)
     real_root = Path(args.real_dir)
+    if not runs_root.is_dir():
+        raise SystemExit(f"Runs dir not found: {runs_root}")
     run_dirs = [p for p in sorted(runs_root.iterdir())
                 if p.is_dir() and re.match(r"posture\d+_(with_exo|no_exo)$", p.name)]
     if not run_dirs:

@@ -1,0 +1,86 @@
+"""Eval-driver tests: pair loaders, synthetic-file preference, CSV artifact
+contract of run_timegan_eval (evaluation.py:165-271, evaluate_18.py:148-301)."""
+
+import csv
+
+import numpy as np
+import pytest
+
+from eegsynth.eval.drivers import (
+    evaluate_pair, find_synth_npz, load_pairs_by_condition, load_posture_pairs,
+    run_timegan_eval,
+)
+
+
+def _save(fp, X, **extra):
+    fp.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(fp, X=X.astype(np.float32), **extra)
+
+
+def test_find_synth_npz_preference(tmp_path, rng):
+    X = rng.normal(size=(2, 8, 3))
+    run = tmp_path / "run"
+    _save(run / "aaa_other.npz", X)
+    assert find_synth_npz(run).name == "aaa_other.npz"   # fallback: first *.npz
+    _save(run / "synthetic.npz", X)
+    assert find_synth_npz(run).name == "synthetic.npz"
+    _save(run / "synthetic_long.npz", X)
+    assert find_synth_npz(run).name == "synthetic_long.npz"
+    assert find_synth_npz(tmp_path / "empty") is None
+
+
+def test_load_pairs_by_condition_truncates(tmp_path, rng):
+    real_dir, synth_dir = tmp_path / "real", tmp_path / "runs"
+    _save(real_dir / "posture1_no_exo.npz", rng.normal(size=(10, 8, 3)))
+    _save(synth_dir / "posture1_no_exo" / "synthetic.npz",
+          rng.normal(size=(7, 8, 3)))
+    pairs = load_pairs_by_condition(real_dir, synth_dir)
+    assert set(pairs) == {(1, "no_exo")}
+    r, f = pairs[(1, "no_exo")]
+    assert len(r) == len(f) == 7  # truncated to min N (evaluate_18.py:170)
+
+
+def test_load_posture_pairs_merges_conditions(tmp_path, rng):
+    real_dir, synth_dir = tmp_path / "real", tmp_path / "runs"
+    for cond, n_r, n_f in (("no_exo", 6, 4), ("with_exo", 5, 9)):
+        _save(real_dir / f"posture2_{cond}.npz", rng.normal(size=(n_r, 8, 3)))
+        _save(synth_dir / f"posture2_{cond}" / "synthetic.npz",
+              rng.normal(size=(n_f, 8, 3)))
+    pairs = load_posture_pairs(real_dir, synth_dir)
+    r, f = pairs[2]
+    # per-condition balancing: min(6,4)+min(5,9) = 4+5 = 9 each
+    assert len(r) == len(f) == 9
+
+
+def test_evaluate_pair_metric_row(rng):
+    real = rng.normal(0.5, 0.1, size=(12, 16, 3)).astype(np.float32)
+    fake = rng.normal(0.5, 0.1, size=(12, 16, 3)).astype(np.float32)
+    row = evaluate_pair(real, fake, fs=128.0)
+    for k in ("disc_acc", "disc_auc", "rmse_tstr", "r2_tstr", "rmse_trts",
+              "r2_trts", "psd_diff", "acf_diff", "coh_diff"):
+        assert np.isfinite(row[k]), k
+    assert 0.0 <= row["disc_acc"] <= 1.0
+    assert row["n_real"] == row["n_fake"] == 12
+    assert row["seq_len"] == 16 and row["n_ch"] == 3
+
+
+def test_run_timegan_eval_artifacts(tmp_path, rng):
+    real_dir = tmp_path / "preprocessed"
+    synth_dir = tmp_path / "runs"
+    out = tmp_path / "eval_out"
+    for p in (1, 2):
+        X = rng.normal(0.5, 0.1, size=(10, 16, 3))
+        _save(real_dir / f"posture{p}_no_exo.npz", X, fs=128.0)
+        _save(synth_dir / f"posture{p}_no_exo" / "synthetic.npz",
+              X + rng.normal(0, 0.05, size=X.shape))
+    res = run_timegan_eval(real_dir, synth_dir, out, by_condition=True,
+                           tsne_max=40)
+    per = out / "metrics_per_posture_condition.csv"
+    assert per.exists() and (out / "metrics_global.csv").exists()
+    assert (out / "pca_global.png").exists()
+    with open(per) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2
+    assert rows[0]["posture"] == "1" and rows[0]["condition"] == "no_exo"
+    assert float(rows[0]["psd_diff"]) >= 0.0
+    assert len(res["rows"]) == 2 and np.isfinite(res["global"]["coh_diff"])
