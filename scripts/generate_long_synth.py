@@ -89,13 +89,8 @@ def main():
               f"z_dim={cfg.z_dim}  fs≈{fs:.2f}", flush=True)
 
         key, sub = jax.random.split(key)
-        chunks = []
-        bs = args.batch or N_out
-        for i in range(0, N_out, bs):
-            sub, k = jax.random.split(sub)
-            chunks.append(np.asarray(synthesize(params, cfg, k, min(bs, N_out - i), T_out),
-                                     dtype=np.float32))
-        Xh = np.concatenate(chunks, axis=0)
+        Xh = np.asarray(synthesize(params, cfg, sub, N_out, T_out,
+                                   batch=args.batch), dtype=np.float32)
 
         if args.denorm and "scale_min" in real.files and "scale_range" in real.files:
             mn = real["scale_min"].astype(np.float32)

@@ -88,6 +88,20 @@ def test_synthesize_arbitrary_length():
     x = synthesize(params, cfg, jax.random.key(1), n=5, seq_len=100)
     assert x.shape == (5, 100, 3)
     assert np.isfinite(np.asarray(x)).all()
+    # fused single-scan cascade == composed three-scan path (the fused path is
+    # what synthesize now dispatches to; see models.timegan.fused_gen_refine)
+    from eegsynth.models.timegan import decode, gen_latent, refine_latent, sample_noise
+    z = sample_noise(jax.random.key(1), 5, 100, cfg.z_dim)
+    ref = decode(params, refine_latent(params, gen_latent(params, z)))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), atol=1e-6)
+
+
+def test_synthesize_microbatched():
+    cfg = TimeGANConfig(x_dim=3, z_dim=16, h_dim=32)
+    params = timegan_init(jax.random.key(0), cfg)
+    x = synthesize(params, cfg, jax.random.key(1), n=8, seq_len=24, batch=3)
+    assert x.shape == (8, 24, 3)       # 3+3+2 pieces, fixed compiled shape
+    assert np.isfinite(np.asarray(x)).all()
 
 
 def test_resume_continues_gan_phase(tmp_path):
