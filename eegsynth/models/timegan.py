@@ -173,21 +173,28 @@ def _fusable(params) -> bool:
                for k in ("generator", "supervisor", "recovery", "embedder"))
 
 
-def fused_gen_refine(params: Params, z: jax.Array, with_decode: bool = False):
-    """Ĥ = supervisor(generator(z)) (and optionally X̂ = recovery(Ĥ)) in one scan.
+def cascade_init_carry(params: Params, batch: int, dtype=jnp.float32):
+    """Zero hidden states (h_gen, h_sup, h_rec) for the fused G→S→R cascade."""
+    g, s, r = params["generator"], params["supervisor"], params["recovery"]
+    return tuple(jnp.zeros((batch, _layer0(sub)["w_hh"].shape[1]), dtype)
+                 for sub in (g, s, r))
 
-    Returns ``h_hat`` or ``(h_hat, x_hat)``. Falls back to the composed
-    functions for multi-layer stacks.
+
+def fused_gen_refine_carry(params: Params, z: jax.Array, carry,
+                           with_decode: bool = False):
+    """Carry-threaded fused cascade: one scan over this chunk of ``z``,
+    starting from the given (h_gen, h_sup, h_rec) hidden states.
+
+    Returns ``(carry_out, h_hat)`` or ``(carry_out, (h_hat, x_hat))``. Because a
+    GRU is strictly causal, scanning T in chunks with threaded carries is
+    bit-identical to one full-length scan — this is what lets long-horizon
+    synthesis reuse ONE compiled executable for any requested length
+    (generate_long_synth.py's arbitrary --gen_len, reference
+    generate_long_synth.py:105-121). Requires the fusable (single-layer)
+    configuration — callers check ``_fusable`` / fall back to composed scans.
     """
-    if not _fusable(params):
-        e_hat = gen_latent(params, z)
-        h_hat = refine_latent(params, e_hat)
-        return (h_hat, recover(params, h_hat)) if with_decode else h_hat
-
     g, s, r = params["generator"], params["supervisor"], params["recovery"]
     gl, sl, rl = _layer0(g), _layer0(s), _layer0(r)
-    B, T, _ = z.shape
-    Hg, Hs, Hr = gl["w_hh"].shape[1], sl["w_hh"].shape[1], rl["w_hh"].shape[1]
     xp_g = jnp.moveaxis(_xproj(gl, z), 1, 0)                 # (T, B, 3Hg)
     wg, ws, wr = gl["w_hh"].T, sl["w_hh"].T, rl["w_hh"].T
     ws_ih, wr_ih = sl["w_ih"].T, rl["w_ih"].T
@@ -204,13 +211,25 @@ def fused_gen_refine(params: Params, z: jax.Array, with_decode: bool = False):
             return (h_g, h_s, h_r), (hh_t, x_t)
         return (h_g, h_s, h_r), hh_t
 
-    init = (jnp.zeros((B, Hg), z.dtype), jnp.zeros((B, Hs), z.dtype),
-            jnp.zeros((B, Hr), z.dtype))
-    _, ys = jax.lax.scan(jax.checkpoint(cell), init, xp_g, unroll=8)
+    carry, ys = jax.lax.scan(jax.checkpoint(cell), carry, xp_g, unroll=8)
     if with_decode:
         h_hat, x_hat = ys
-        return jnp.moveaxis(h_hat, 0, 1), jnp.moveaxis(x_hat, 0, 1)
-    return jnp.moveaxis(ys, 0, 1)
+        return carry, (jnp.moveaxis(h_hat, 0, 1), jnp.moveaxis(x_hat, 0, 1))
+    return carry, jnp.moveaxis(ys, 0, 1)
+
+
+def fused_gen_refine(params: Params, z: jax.Array, with_decode: bool = False):
+    """Ĥ = supervisor(generator(z)) (and optionally X̂ = recovery(Ĥ)) in one scan.
+
+    Returns ``h_hat`` or ``(h_hat, x_hat)``. Falls back to the composed
+    functions for multi-layer stacks.
+    """
+    if not _fusable(params):
+        e_hat = gen_latent(params, z)
+        h_hat = refine_latent(params, e_hat)
+        return (h_hat, recover(params, h_hat)) if with_decode else h_hat
+    init = cascade_init_carry(params, z.shape[0], z.dtype)
+    return fused_gen_refine_carry(params, z, init, with_decode)[1]
 
 
 def fused_reconstruct(params: Params, x: jax.Array) -> jax.Array:

@@ -40,8 +40,9 @@ from eegsynth.losses.timegan import (
     sup_loss, throttle_scale,
 )
 from eegsynth.models.timegan import (
-    TimeGANConfig, adaptive_dims, decode, encode, fused_gen_refine, gen_latent,
-    reconstruct, refine_latent, sample_noise, timegan_init,
+    TimeGANConfig, adaptive_dims, decode, encode, fused_gen_refine,
+    fused_gen_refine_carry, gen_latent, reconstruct, refine_latent,
+    sample_noise, timegan_init,
 )
 from eegsynth.nn.gru import gru_stack_apply
 from eegsynth.nn.spectral_norm import sn_dense_apply
@@ -455,7 +456,8 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
 
 
 def synthesize(params, cfg: TimeGANConfig, key, n: int, seq_len: int,
-               batch: int | None = None) -> jax.Array:
+               batch: int | None = None,
+               time_chunk: int | None = None) -> jax.Array:
     """Z → decode(refine(gen(Z))) (train_timegan.py:416-419;
     generate_long_synth.py:117-121). Static shape per (n, seq_len).
 
@@ -463,19 +465,47 @@ def synthesize(params, cfg: TimeGANConfig, key, n: int, seq_len: int,
     the composed three-scan path materializes the (n, T, z/h) intermediate
     latents to HBM between scans, which dominates at synthesis batch sizes —
     measured 137.5k vs 15.8k windows/s at n=4096 on v5e (8.7×). Parity with the
-    composed path is exact (tests/test_timegan_fused.py). ``batch`` optionally
-    micro-batches huge n at the same compiled shape to cap memory."""
-    @jax.jit
-    def run(p, z):
-        _, x_hat = fused_gen_refine(p, z, with_decode=True)
-        return x_hat
+    composed path is exact (tests/test_timegan_fused.py).
+
+    ``batch`` micro-batches huge n at one compiled shape to cap memory.
+    ``time_chunk`` streams the sequence axis: the GRU hidden states are
+    carried across fixed-(batch, time_chunk) dispatches, so ANY requested
+    length reuses one compiled executable and device memory stays bounded —
+    bit-identical to the one-shot scan (GRUs are strictly causal). Falls back
+    to one-shot for multi-layer stacks (not the reference configuration)."""
+    from eegsynth.models.timegan import _fusable, cascade_init_carry
+
+    chunked = (time_chunk is not None and time_chunk < seq_len
+               and _fusable(params))
+    if not chunked:
+        @jax.jit
+        def run(p, z):
+            _, x_hat = fused_gen_refine(p, z, with_decode=True)
+            return x_hat
+
+        run_batch = lambda p, k, b: run(p, sample_noise(k, b, seq_len, cfg.z_dim))
+    else:
+        @jax.jit
+        def step(p, z, carry):
+            carry, (_, x_hat) = fused_gen_refine_carry(p, z, carry,
+                                                       with_decode=True)
+            return x_hat, carry
+
+        def run_batch(p, k, b):
+            carry = cascade_init_carry(p, b)
+            pieces = []
+            for t0 in range(0, seq_len, time_chunk):
+                k, sub = jax.random.split(k)
+                z = sample_noise(sub, b, time_chunk, cfg.z_dim)  # static shape
+                x, carry = step(p, z, carry)
+                pieces.append(x[:, :min(time_chunk, seq_len - t0)])
+            return jnp.concatenate(pieces, axis=1)
 
     if batch is None or batch >= n:
-        return run(params, sample_noise(key, n, seq_len, cfg.z_dim))
+        return run_batch(params, key, n)
     pieces = []
     for i in range(0, n, batch):
         key, sub = jax.random.split(key)
         m = min(batch, n - i)
-        z = sample_noise(sub, batch, seq_len, cfg.z_dim)  # static shape
-        pieces.append(run(params, z)[:m])
+        pieces.append(run_batch(params, sub, batch)[:m])
     return jnp.concatenate(pieces, axis=0)

@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--batch", type=int, default=None,
                     help="Optional synthesis micro-batch (memory cap for huge N·T)")
+    ap.add_argument("--time_chunk", type=int, default=None,
+                    help="Stream the sequence axis in fixed chunks, carrying "
+                         "GRU state — one compiled executable for any length")
     args = ap.parse_args()
 
     import jax
@@ -90,7 +93,8 @@ def main():
 
         key, sub = jax.random.split(key)
         Xh = np.asarray(synthesize(params, cfg, sub, N_out, T_out,
-                                   batch=args.batch), dtype=np.float32)
+                                   batch=args.batch, time_chunk=args.time_chunk),
+                        dtype=np.float32)
 
         if args.denorm and "scale_min" in real.files and "scale_range" in real.files:
             mn = real["scale_min"].astype(np.float32)

@@ -63,3 +63,25 @@ def test_identity_proj_path(rng):
     ref_h = refine_latent(params, gen_latent(params, z))
     got_h = fused_gen_refine(params, z)
     np.testing.assert_allclose(np.asarray(got_h), np.asarray(ref_h), atol=2e-6)
+
+
+def test_carry_chunked_scan_bit_identical(rng):
+    # GRUs are strictly causal: scanning T in carried chunks must equal the
+    # one full-length scan exactly (this property underpins time-chunked
+    # long-horizon synthesis at one compiled shape).
+    from eegsynth.models.timegan import cascade_init_carry, fused_gen_refine_carry
+    cfg, params = _setup()
+    z = jnp.asarray(rng.uniform(0, 1, (3, 48, cfg.z_dim)).astype(np.float32))
+    ref_h, ref_x = fused_gen_refine(params, z, with_decode=True)
+
+    carry = cascade_init_carry(params, 3)
+    hs, xs = [], []
+    for t0 in (0, 16, 32):
+        carry, (h, x) = fused_gen_refine_carry(params, z[:, t0:t0 + 16], carry,
+                                               with_decode=True)
+        hs.append(h)
+        xs.append(x)
+    np.testing.assert_array_equal(np.asarray(jnp.concatenate(hs, 1)),
+                                  np.asarray(ref_h))
+    np.testing.assert_array_equal(np.asarray(jnp.concatenate(xs, 1)),
+                                  np.asarray(ref_x))

@@ -139,3 +139,13 @@ def test_cli_config_and_flag_overrides(tmp_path, monkeypatch):
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         cli.load_config(tmp_path / "missing.json")
+
+
+def test_synthesize_time_chunked():
+    cfg = TimeGANConfig(x_dim=3, z_dim=16, h_dim=32)
+    params = timegan_init(jax.random.key(0), cfg)
+    # non-divisible length: 2 full chunks + a 6-step remainder, plus batch split
+    x = synthesize(params, cfg, jax.random.key(1), n=5, seq_len=38,
+                   batch=3, time_chunk=16)
+    assert x.shape == (5, 38, 3)
+    assert np.isfinite(np.asarray(x)).all()
