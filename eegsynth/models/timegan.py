@@ -232,6 +232,46 @@ def fused_gen_refine(params: Params, z: jax.Array, with_decode: bool = False):
     return fused_gen_refine_carry(params, z, init, with_decode)[1]
 
 
+def fused_disc_inputs(params: Params, x: jax.Array, z: jax.Array):
+    """D-step latents (h_real, h_fake) = (embedder(x), supervisor(generator(z)))
+    in ONE scan.
+
+    The discriminator update differentiates only through the discriminator
+    (train_timegan.py:166-225 — E/G/S forwards are under no-grad), so these
+    three forward-only recurrences can share a single scan: the embedder carry
+    is independent of the generator→supervisor causal chain. MEASURED (v5e,
+    reference sizes): 58.1 vs 58.9 steps/s — no win, the trainer keeps the
+    composed scans; retained (parity-tested) for geometries where per-scan
+    dispatch latency dominates. Falls back to composed applies for multi-layer
+    stacks.
+    """
+    if not _fusable(params):
+        return encode(params, x), refine_latent(params, gen_latent(params, z))
+
+    e, g, s = params["embedder"], params["generator"], params["supervisor"]
+    el, gl, sl = _layer0(e), _layer0(g), _layer0(s)
+    B = x.shape[0]
+    xp_e = jnp.moveaxis(_xproj(el, x), 1, 0)                 # (T, B, 3He)
+    xp_g = jnp.moveaxis(_xproj(gl, z), 1, 0)                 # (T, B, 3Hg)
+    we, wg, ws = el["w_hh"].T, gl["w_hh"].T, sl["w_hh"].T
+    ws_ih = sl["w_ih"].T
+
+    def cell(carry, inp):
+        h_e, h_g, h_s = carry
+        xp_e_t, xp_g_t = inp
+        h_e = _cell(we, el["b_hh"], h_e, xp_e_t)
+        h_g = _cell(wg, gl["b_hh"], h_g, xp_g_t)
+        e_t = _proj(g.get("proj"), h_g)
+        h_s = _cell(ws, sl["b_hh"], h_s, e_t @ ws_ih + sl["b_ih"])
+        return (h_e, h_g, h_s), (h_e, _proj(s.get("proj"), h_s))
+
+    init = tuple(jnp.zeros((B, l["w_hh"].shape[1]), x.dtype)
+                 for l in (el, gl, sl))
+    _, (h_real, h_fake) = jax.lax.scan(jax.checkpoint(cell), init,
+                                       (xp_e, xp_g), unroll=8)
+    return jnp.moveaxis(h_real, 0, 1), jnp.moveaxis(h_fake, 0, 1)
+
+
 def fused_reconstruct(params: Params, x: jax.Array) -> jax.Array:
     """X̃ = recovery(embedder(x)) in one scan (reference reconstruct,
     timegan_model.py:114)."""

@@ -19,6 +19,34 @@ def data_mesh(devices=None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> Mesh:
+    """Join a multi-host TPU slice and return the global data mesh.
+
+    Thin wrapper over ``jax.distributed.initialize`` (SURVEY.md §5: the
+    communication backend the reference lacks). On Cloud TPU the three
+    arguments auto-detect from the environment; pass them explicitly elsewhere.
+    The returned mesh spans every chip in the slice — gradient all-reduce then
+    rides ICI within a host and DCN across hosts, inserted by GSPMD from the
+    same sharding annotations as the single-host path (no trainer changes).
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    return data_mesh()
+
+
+def mesh_from_flags(use_mesh: bool, multihost: bool = False) -> Mesh | None:
+    """CLI hook: ``--multihost`` joins the slice and spans every chip;
+    ``--mesh`` spans the local chips; neither → single-device (None)."""
+    if multihost:
+        return init_multihost()
+    return data_mesh() if use_mesh else None
+
+
 def batch_sharding(mesh: Mesh | None, axis: str = "data"):
     """NamedSharding that splits the leading (batch) dim, or None off-mesh."""
     if mesh is None:

@@ -41,6 +41,10 @@ def get_args():
     p.add_argument("--no-ema", action="store_true")
     p.add_argument("--no-diffaugment", action="store_true")
     p.add_argument("--resume", type=str, default="")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the batch over all local devices (data parallel)")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize and span the whole slice")
 
     g = sub.add_parser("generate", formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     g.add_argument("--data-dir", type=str, default="./preprocessed")
@@ -111,14 +115,18 @@ def main():
         hp["use_diffaugment"] = False
 
     from eegsynth.train.cgan import train_one_condition
+    from eegsynth.train.sharding import mesh_from_flags
+    mesh = mesh_from_flags(args.mesh, args.multihost)
     data_dir = args.data_dir if args.data_dir != "./preprocessed" else \
         cfg.get("data_dir", args.data_dir)
     save_root = args.save_root if args.save_root != "./cgan_runs" else \
         cfg.get("save_root", args.save_root)
     if args.condition in ("both", "with_exo"):
-        train_one_condition(data_dir, save_root, "with_exo", resume=args.resume, **hp)
+        train_one_condition(data_dir, save_root, "with_exo", resume=args.resume,
+                            mesh=mesh, **hp)
     if args.condition in ("both", "no_exo"):
-        train_one_condition(data_dir, save_root, "no_exo", resume=args.resume, **hp)
+        train_one_condition(data_dir, save_root, "no_exo", resume=args.resume,
+                            mesh=mesh, **hp)
 
 
 if __name__ == "__main__":

@@ -34,8 +34,10 @@ def main():
                    dest="parallel_postures", action="store_true",
                    help="vmap all posture models into one training run (TPU extra)")
     p.add_argument("--mesh", action="store_true",
-                   help="with --parallel-postures: shard the posture axis over "
-                        "all local devices")
+                   help="shard over all local devices (the posture axis with "
+                        "--parallel-postures, else the batch)")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize and span the whole slice")
     args = p.parse_args()
 
     hp = {k: getattr(args, k) for k in HP_FLAGS if getattr(args, k) is not None}
@@ -43,17 +45,17 @@ def main():
     postures = range(1, 10) if args.posture == "all" else [int(args.posture)]
     if args.parallel_postures:
         from eegsynth.train.cgan_multi import train_all_postures
-        mesh = None
-        if args.mesh:
-            from eegsynth.train.sharding import data_mesh
-            mesh = data_mesh()
+        from eegsynth.train.sharding import mesh_from_flags
+        mesh = mesh_from_flags(args.mesh, args.multihost)
         train_all_postures(args.data_dir, args.runs_root, postures=postures,
                            mesh=mesh, **hp)
         return
 
     from eegsynth.train.cgan import train_one_posture
+    from eegsynth.train.sharding import mesh_from_flags
+    mesh = mesh_from_flags(args.mesh, args.multihost)
     for posture in postures:
-        train_one_posture(args.data_dir, args.runs_root, posture, **hp)
+        train_one_posture(args.data_dir, args.runs_root, posture, mesh=mesh, **hp)
 
 
 if __name__ == "__main__":

@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="continue each run from its ckpt_latest.npz "
                          "(skips phases 1-2; framework extra, reference lacks it)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard the batch over all local devices (data parallel)")
+    ap.add_argument("--multihost", action="store_true",
+                    help="jax.distributed.initialize and span the whole slice")
     for k, typ in CONFIG_KEYS.items():
         ap.add_argument(f"--{k}", type=typ, default=None)
     args = ap.parse_args()
@@ -81,6 +85,11 @@ def main():
     print(f"Using devices: {jax.devices()}")
     print(f"Found {len(files)} datasets → training {len(files)} models.")
 
+    from eegsynth.train.sharding import mesh_from_flags
+    mesh = mesh_from_flags(args.mesh, args.multihost)
+    if mesh is not None:
+        print(f"Data-parallel mesh: {dict(mesh.shape)}")
+
     if args.parallel_buckets:
         from eegsynth.train.timegan_multi import train_all_buckets
         res = train_all_buckets(data_dir, out_root, **hp)
@@ -92,7 +101,7 @@ def main():
         for fp in files:
             run_dir = out_root / fp.stem
             print(f"\n=== Training {fp.name} → {run_dir} ===")
-            train_single_npz(fp, run_dir, profile_dir=args.profile_dir,
+            train_single_npz(fp, run_dir, mesh=mesh, profile_dir=args.profile_dir,
                              resume=args.resume, **hp)
 
     print("\nAll models trained. Checkpoints, logs, and synthetic data are under:", out_root)

@@ -96,3 +96,10 @@ def test_cgan_data_parallel_matches_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(G_mesh),
                     jax.tree_util.tree_leaves(G_single)):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
+def test_mesh_from_flags():
+    from eegsynth.train.sharding import mesh_from_flags
+    assert mesh_from_flags(False) is None
+    m = mesh_from_flags(True)
+    assert m is not None and m.devices.size == len(jax.devices())

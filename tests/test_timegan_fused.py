@@ -85,3 +85,15 @@ def test_carry_chunked_scan_bit_identical(rng):
                                   np.asarray(ref_h))
     np.testing.assert_array_equal(np.asarray(jnp.concatenate(xs, 1)),
                                   np.asarray(ref_x))
+
+
+def test_fused_disc_inputs_matches_composition(rng):
+    from eegsynth.models.timegan import encode, fused_disc_inputs
+    cfg, params = _setup()
+    x = jnp.asarray(rng.uniform(0, 1, (3, 40, cfg.x_dim)).astype(np.float32))
+    z = jnp.asarray(rng.uniform(0, 1, (3, 40, cfg.z_dim)).astype(np.float32))
+    h_real, h_fake = fused_disc_inputs(params, x, z)
+    np.testing.assert_allclose(np.asarray(h_real), np.asarray(encode(params, x)),
+                               atol=2e-6)
+    ref_fake = refine_latent(params, gen_latent(params, z))
+    np.testing.assert_allclose(np.asarray(h_fake), np.asarray(ref_fake), atol=2e-6)
