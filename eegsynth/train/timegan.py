@@ -417,6 +417,7 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
         prof.__enter__()
     t_start = time.perf_counter()
     done = start_step
+    last_saved_best = int(best_step) if resuming else -1
     while done < hp.gan_steps:
         n_steps = min(hp.chunk, hp.gan_steps - done)
         key, sub = jax.random.split(key)
@@ -437,8 +438,13 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
                           f"acf={row[7]:.4f})", flush=True)
         if done % 500 == 0 or done == hp.gan_steps:
             save(out_dir / "ckpt_latest.npz", params, d_state, g_state, done)
-        save(out_dir / "ckpt_best.npz", best_params, d_state, g_state,
-             int(best_step), {"best": True, "best_loss": float(best_loss)})
+        # ckpt_best.pt semantics (train_timegan.py:410-413) without redundant
+        # device→host pulls: only rewrite when the on-device best advanced
+        bs = int(best_step)
+        if bs != last_saved_best:
+            save(out_dir / "ckpt_best.npz", best_params, d_state, g_state,
+                 bs, {"best": True, "best_loss": float(best_loss)})
+            last_saved_best = bs
     gan_seconds = time.perf_counter() - t_start
     if prof is not None:
         prof.__exit__(None, None, None)
