@@ -297,6 +297,8 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
                   key, X, n_valid, steps):
             carry = (params, d_state, g_state, best_params, best_loss, best_step,
                      key, X, n_valid if with_valid_n else None)
+            # unroll=2 measured 59.2 vs 58.7 steps/s (noise) at ~2× the chunk
+            # compile time — not worth it
             carry, logs = jax.lax.scan(one_step, carry, steps)
             return carry[:7], logs
 

@@ -1,0 +1,199 @@
+#!/usr/bin/env python3
+"""Synthesis serving endpoint: trained models resident on device, HTTP in front.
+
+The reference's only inference surface is a batch script
+(generate_long_synth.py); this server is the deployment-shaped equivalent:
+
+- loads every run's checkpoint at startup and keeps params resident on the
+  accelerator (no per-request host→device weight traffic),
+- executes requests through ONE pre-compiled fixed-shape executable per model:
+  batch is padded to ``--serve_batch`` and the sequence axis is streamed in
+  ``--time_chunk`` chunks with carried GRU state (see train/timegan.synthesize),
+  so arbitrary (n, seq_len) requests never trigger a recompile,
+- optional per-bucket denormalization with the real scalers.
+
+API (stdlib http.server; single-threaded by design — one TPU process, queued
+requests):
+    GET  /healthz              -> {"status": "ok", "runs": [...]}
+    GET  /runs                 -> per-run metadata (dims, step, scalers)
+    POST /synthesize           body: {"run": "posture1_no_exo", "n": 64,
+                                      "seq_len": 768, "seed": 0,
+                                      "denorm": false, "format": "npz"|"json"}
+        -> NPZ bytes (X float32 (n, seq_len, C)) or JSON.
+
+Usage:
+    python scripts/serve_synthesis.py --runs_dir ./timegan_runs \
+        --real_dir ./preprocessed --port 8777
+"""
+
+import argparse
+import io
+import json
+import re
+import sys
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+class ModelRegistry:
+    """Checkpoints → device-resident params + per-run meta/scalers."""
+
+    def __init__(self, runs_dir: Path, real_dir: Path | None,
+                 prefer_latest: bool = False):
+        import jax
+        from eegsynth.models.timegan import TimeGANConfig, timegan_init
+        from eegsynth.train.checkpoint import load_checkpoint, load_meta
+
+        self.models: dict[str, dict] = {}
+        for rd in sorted(Path(runs_dir).iterdir()):
+            if not (rd.is_dir() and re.match(r"posture\d+_(with_exo|no_exo)$", rd.name)):
+                continue
+            best, latest = rd / "ckpt_best.npz", rd / "ckpt_latest.npz"
+            ckpt = (latest if prefer_latest and latest.exists()
+                    else (best if best.exists() else latest))
+            if not ckpt.exists():
+                continue
+            meta = load_meta(ckpt)
+            scale_min = scale_range = None
+            x_dim, fs = 14, 128.0
+            if real_dir is not None:
+                real_fp = Path(real_dir) / f"{rd.name}.npz"
+                if real_fp.exists():
+                    real = np.load(real_fp)
+                    x_dim = int(real["X"].shape[2])
+                    fs = float(real["fs"]) if "fs" in real.files else fs
+                    if "scale_min" in real.files:
+                        scale_min = real["scale_min"].astype(np.float32)
+                        scale_range = real["scale_range"].astype(np.float32)
+            cfg = TimeGANConfig(x_dim=x_dim, z_dim=int(meta["z_dim"]),
+                                h_dim=int(meta["h_dim"]))
+            template = timegan_init(jax.random.key(0), cfg)
+            trees, _ = load_checkpoint(ckpt, {"model": template})
+            self.models[rd.name] = {
+                "params": jax.device_put(trees["model"]), "cfg": cfg,
+                "meta": meta, "fs": fs,
+                "scale_min": scale_min, "scale_range": scale_range,
+            }
+        if not self.models:
+            raise SystemExit(f"No servable checkpoints under {runs_dir}")
+
+    def synthesize(self, run: str, n: int, seq_len: int, seed: int,
+                   denorm: bool, serve_batch: int, time_chunk: int) -> np.ndarray:
+        import jax
+        from eegsynth.train.timegan import synthesize
+
+        m = self.models[run]
+        # Pad both axes to the fixed serving shape and slice down: the GRU is
+        # strictly causal, so the first seq_len steps of a longer run are
+        # identical to a shorter run — every request hits ONE compiled
+        # (serve_batch, time_chunk) executable, no recompiles ever.
+        nb = -(-n // serve_batch) * serve_batch
+        tb = -(-seq_len // time_chunk) * time_chunk
+        X = np.asarray(
+            synthesize(m["params"], m["cfg"], jax.random.key(seed), nb, tb,
+                       batch=serve_batch if nb > serve_batch else None,
+                       time_chunk=time_chunk if tb > time_chunk else None),
+            dtype=np.float32)[:n, :seq_len]
+        if denorm and m["scale_min"] is not None:
+            X = X * m["scale_range"][None, None, :] + m["scale_min"][None, None, :]
+        return X
+
+
+def make_handler(reg: ModelRegistry, serve_batch: int, time_chunk: int):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet access log to stdout
+            print(f"[serve] {args[0] if args else ''}", flush=True)
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", "runs": sorted(reg.models)})
+            elif self.path == "/runs":
+                self._json(200, {
+                    name: {"z_dim": m["cfg"].z_dim, "h_dim": m["cfg"].h_dim,
+                           "x_dim": m["cfg"].x_dim, "fs": m["fs"],
+                           "step": m["meta"].get("step"),
+                           "has_scalers": m["scale_min"] is not None}
+                    for name, m in reg.models.items()})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                return self._json(404, {"error": "unknown path"})
+            try:
+                req = json.loads(self.rfile.read(
+                    int(self.headers.get("Content-Length", 0)) or 0) or b"{}")
+                run = req["run"]
+                if run not in reg.models:
+                    return self._json(404, {"error": f"unknown run {run!r}",
+                                            "runs": sorted(reg.models)})
+                n = int(req.get("n", 16))
+                seq_len = int(req.get("seq_len", 768))
+                if not (1 <= n <= 65536 and 1 <= seq_len <= 1 << 20):
+                    return self._json(400, {"error": "n or seq_len out of range"})
+                X = reg.synthesize(run, n, seq_len, int(req.get("seed", 0)),
+                                   bool(req.get("denorm", False)),
+                                   serve_batch, time_chunk)
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                return self._json(400, {"error": str(e)})
+            if req.get("format", "npz") == "json":
+                return self._json(200, {"shape": list(X.shape),
+                                        "X": X.tolist()})
+            buf = io.BytesIO()
+            np.savez_compressed(buf, X=X)
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def main():
+    ap = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    ap.add_argument("--runs_dir", type=str, default="./timegan_runs")
+    ap.add_argument("--real_dir", type=str, default="./preprocessed",
+                    help="real buckets for x_dim/fs/denorm scalers")
+    ap.add_argument("--host", type=str, default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8777)
+    ap.add_argument("--prefer_latest", action="store_true")
+    ap.add_argument("--serve_batch", type=int, default=256,
+                    help="fixed compiled batch; requests are padded/micro-batched")
+    ap.add_argument("--time_chunk", type=int, default=768,
+                    help="fixed compiled sequence chunk for long requests")
+    ap.add_argument("--warmup", action="store_true",
+                    help="pre-compile the serving shape for every run at startup")
+    args = ap.parse_args()
+
+    reg = ModelRegistry(Path(args.runs_dir), Path(args.real_dir),
+                        args.prefer_latest)
+    print(f"[serve] loaded {len(reg.models)} models: {sorted(reg.models)}",
+          flush=True)
+    if args.warmup:
+        for name in reg.models:
+            reg.synthesize(name, 1, args.time_chunk, 0, False,
+                           args.serve_batch, args.time_chunk)
+            print(f"[serve] warmed {name}", flush=True)
+
+    srv = HTTPServer((args.host, args.port),
+                     make_handler(reg, args.serve_batch, args.time_chunk))
+    print(f"[serve] listening on http://{args.host}:{args.port}", flush=True)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

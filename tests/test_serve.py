@@ -1,0 +1,100 @@
+"""Synthesis serving endpoint: registry, API round-trip, fixed-shape padding."""
+
+import io
+import json
+import sys
+import threading
+from http.server import HTTPServer
+from pathlib import Path
+
+import numpy as np
+import jax
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+from serve_synthesis import ModelRegistry, make_handler
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    from eegsynth.models.timegan import TimeGANConfig, timegan_init
+    from eegsynth.train.checkpoint import save_checkpoint
+
+    root = tmp_path_factory.mktemp("serve")
+    runs = root / "runs"
+    real = root / "real"
+    (runs / "posture1_no_exo").mkdir(parents=True)
+    real.mkdir()
+
+    cfg = TimeGANConfig(x_dim=3, z_dim=16, h_dim=24)
+    params = timegan_init(jax.random.key(0), cfg)
+    save_checkpoint(runs / "posture1_no_exo" / "ckpt_best.npz",
+                    {"model": params},
+                    {"npz": "posture1_no_exo.npz", "z_dim": 16, "h_dim": 24,
+                     "step": 5, "best": True})
+    np.savez(real / "posture1_no_exo.npz",
+             X=np.random.default_rng(0).uniform(0, 1, (4, 32, 3)).astype(np.float32),
+             fs=np.float32(128.0),
+             scale_min=np.full((3,), 2.0, np.float32),
+             scale_range=np.full((3,), 10.0, np.float32))
+
+    reg = ModelRegistry(runs, real)
+    srv = HTTPServer(("127.0.0.1", 0), make_handler(reg, serve_batch=4, time_chunk=16))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address
+    srv.shutdown()
+
+
+def _request(addr, method, path, body=None):
+    import http.client
+    conn = http.client.HTTPConnection(*addr, timeout=120)
+    conn.request(method, path, body=json.dumps(body) if body else None)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, resp.getheader("Content-Type"), data
+
+
+def test_healthz_and_runs(served):
+    status, _, data = _request(served, "GET", "/healthz")
+    assert status == 200 and json.loads(data)["runs"] == ["posture1_no_exo"]
+    status, _, data = _request(served, "GET", "/runs")
+    info = json.loads(data)["posture1_no_exo"]
+    assert info["z_dim"] == 16 and info["has_scalers"]
+
+
+def test_synthesize_npz_padded_shapes(served):
+    # n=6 > serve_batch=4 and seq_len=25 not a multiple of time_chunk=16:
+    # exercises batch micro-batching + time streaming + slice-down
+    status, ctype, data = _request(served, "POST", "/synthesize",
+                                   {"run": "posture1_no_exo", "n": 6,
+                                    "seq_len": 25, "seed": 7})
+    assert status == 200 and ctype == "application/octet-stream"
+    X = np.load(io.BytesIO(data))["X"]
+    assert X.shape == (6, 25, 3)
+    assert np.isfinite(X).all()
+
+
+def test_synthesize_denorm_and_json(served):
+    status, _, data = _request(served, "POST", "/synthesize",
+                               {"run": "posture1_no_exo", "n": 2, "seq_len": 8,
+                                "denorm": True, "format": "json"})
+    assert status == 200
+    obj = json.loads(data)
+    X = np.asarray(obj["X"], np.float32)
+    assert obj["shape"] == [2, 8, 3]
+    # sigmoid-free recovery head is unbounded, but denorm must apply the affine:
+    # values of X*10+2 for X in roughly [-1, 1] land well outside [0, 1]
+    assert X.max() > 1.0 or X.min() < 0.0
+
+
+def test_errors(served):
+    status, _, data = _request(served, "POST", "/synthesize", {"run": "nope"})
+    assert status == 404
+    status, _, _ = _request(served, "POST", "/synthesize",
+                            {"run": "posture1_no_exo", "n": 0})
+    assert status == 400
+    status, _, _ = _request(served, "GET", "/bogus")
+    assert status == 404
