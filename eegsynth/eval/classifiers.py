@@ -47,10 +47,31 @@ def _forward_last(params, x):
     return last @ params["out"]["w"].T + params["out"]["b"]
 
 
+def _pad_rows(arrs, mult: int = 64):
+    """Zero-pad the batch axis to a multiple of ``mult``; returns
+    (*padded, weights). Fixed shapes mean ONE compile of the jitted training
+    scan serves every (posture, condition) pair — per-pair shapes previously
+    forced a fresh multi-minute remote-tunnel compile each (the dominant cost
+    of evaluate_18 over 18 buckets). Zero-weight rows contribute exact zeros
+    to the weighted losses, so results are unchanged."""
+    n = arrs[0].shape[0]
+    m = -(-n // mult) * mult
+    w = np.zeros((m,), np.float32)
+    w[:n] = 1.0
+    out = []
+    for a in arrs:
+        p = np.zeros((m,) + a.shape[1:], np.float32)
+        p[:n] = a
+        out.append(p)
+    return (*out, w)
+
+
 @partial(jax.jit, static_argnames=("epochs", "lr", "classify"))
-def _train_full_batch(params, X, y, epochs: int, lr: float, classify: bool):
+def _train_full_batch(params, X, y, w, epochs: int, lr: float, classify: bool):
     opt = optax.adam(lr)
     state = opt.init(params)
+    wc = w[:, None]
+    n = jnp.sum(w)
 
     def loss_fn(p):
         out = _forward_last(p, X)
@@ -58,8 +79,8 @@ def _train_full_batch(params, X, y, epochs: int, lr: float, classify: bool):
             prob = jax.nn.sigmoid(out)
             logp = jnp.clip(jnp.log(prob), -100.0, None)
             log1mp = jnp.clip(jnp.log1p(-prob), -100.0, None)
-            return -jnp.mean(y * logp + (1 - y) * log1mp)
-        return jnp.mean((out - y) ** 2)
+            return -jnp.sum(wc * (y * logp + (1 - y) * log1mp)) / n
+        return jnp.sum(wc * (out - y) ** 2) / (n * y.shape[-1])
 
     def step(carry, _):
         p, s = carry
@@ -69,6 +90,11 @@ def _train_full_batch(params, X, y, epochs: int, lr: float, classify: bool):
 
     (params, _), losses = jax.lax.scan(step, (params, state), None, length=epochs)
     return params, losses
+
+
+@jax.jit
+def _infer_last(params, X):
+    return _forward_last(params, X)
 
 
 def discriminative_score(real: np.ndarray, fake: np.ndarray, epochs: int = 20,
@@ -83,9 +109,12 @@ def discriminative_score(real: np.ndarray, fake: np.ndarray, epochs: int = 20,
     Xtr, Xte, ytr, yte = train_test_split(X, y, test_size=0.3, stratify=y,
                                           random_state=seed)
     params = _rnn_head_init(jax.random.key(seed), X.shape[-1], hidden, 1)
-    params, _ = _train_full_batch(params, jnp.asarray(Xtr),
-                                  jnp.asarray(ytr[:, None]), epochs, lr, True)
-    p = np.asarray(jax.nn.sigmoid(_forward_last(params, jnp.asarray(Xte)))).ravel()
+    Xp, yp, w = _pad_rows([Xtr, ytr[:, None]])
+    params, _ = _train_full_batch(params, jnp.asarray(Xp), jnp.asarray(yp),
+                                  jnp.asarray(w), epochs, lr, True)
+    Xq, wq = _pad_rows([Xte])
+    logits = np.asarray(_infer_last(params, jnp.asarray(Xq)))[: len(Xte)]
+    p = (1.0 / (1.0 + np.exp(-logits))).ravel()
     yhat = (p >= 0.5).astype(int)
     acc = accuracy_score(yte, yhat)
     try:
@@ -103,10 +132,12 @@ def predictive_score(X_train: np.ndarray, y_train: np.ndarray,
     (evaluation.py:100-115,192-195)."""
     params = _rnn_head_init(jax.random.key(seed), X_train.shape[-1], hidden,
                             y_train.shape[-1])
-    params, _ = _train_full_batch(params, jnp.asarray(X_train, dtype=jnp.float32),
-                                  jnp.asarray(y_train, dtype=jnp.float32),
-                                  epochs, lr, False)
-    yhat = np.asarray(_forward_last(params, jnp.asarray(X_test, dtype=jnp.float32)))
+    Xp, yp, w = _pad_rows([np.asarray(X_train, np.float32),
+                           np.asarray(y_train, np.float32)])
+    params, _ = _train_full_batch(params, jnp.asarray(Xp), jnp.asarray(yp),
+                                  jnp.asarray(w), epochs, lr, False)
+    Xq, _ = _pad_rows([np.asarray(X_test, np.float32)])
+    yhat = np.asarray(_infer_last(params, jnp.asarray(Xq)))[: len(X_test)]
     rmse = float(np.sqrt(mean_squared_error(y_test, yhat)))
     r2 = float(r2_score(y_test, yhat, multioutput="uniform_average"))
     return rmse, r2

@@ -42,13 +42,81 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 class ModelRegistry:
     """Checkpoints → device-resident params + per-run meta/scalers."""
 
-    def __init__(self, runs_dir: Path, real_dir: Path | None,
-                 prefer_latest: bool = False):
+    def __init__(self, runs_dir: Path | None, real_dir: Path | None,
+                 prefer_latest: bool = False, cgan_root: Path | None = None):
+        self.real_dir = Path(real_dir) if real_dir is not None else None
+        self.models = {}
+        self.cgan = {}
+        if runs_dir is not None:
+            self._load_timegan(Path(runs_dir), prefer_latest)
+        if cgan_root is not None:
+            self._load_cgan(Path(cgan_root))
+        if not self.models and not self.cgan:
+            raise SystemExit("No servable checkpoints found")
+
+    def _load_cgan(self, root: Path):
+        """<root>/<tag>/CGAN_generator_<tag>_{best,last}.npz (tag = condition
+        for v1, posture{p} for v2); arch rebuilt from checkpoint meta."""
+        import jax
+        from eegsynth.train.cgan import load_generator
+
+        for d in sorted(p for p in root.iterdir() if p.is_dir()):
+            for which in ("best", "last"):
+                fp = d / f"CGAN_generator_{d.name}_{which}.npz"
+                if fp.exists():
+                    G, bn, cfg, meta = load_generator(fp)
+                    self.cgan[d.name] = {
+                        "G": jax.device_put(G), "bn": jax.device_put(bn),
+                        "cfg": cfg, "meta": meta}
+                    break
+
+    def _bucket_scalers(self, tag: str, label: int):
+        """Resolve (scale_min, scale_range) for a CGAN (tag, label) from the
+        real buckets: v1 tag=<cond> + label=posture-1; v2 tag=posture{p} +
+        label∈{0,1}={no,with}_exo."""
+        if self.real_dir is None:
+            return None
+        if tag in ("no_exo", "with_exo"):
+            fp = self.real_dir / f"posture{label + 1}_{tag}.npz"
+        elif tag.startswith("posture"):
+            fp = self.real_dir / f"{tag}_{('no_exo', 'with_exo')[label]}.npz"
+        else:
+            return None
+        if not fp.exists():
+            return None
+        real = np.load(fp)
+        if "scale_min" not in real.files:
+            return None
+        return (real["scale_min"].astype(np.float32),
+                real["scale_range"].astype(np.float32))
+
+    def synthesize_cgan(self, tag: str, label: int, n: int, seed: int,
+                        inverse_scale: bool, serve_batch: int) -> np.ndarray:
+        import jax
+        from eegsynth.train.cgan import generate_batch
+
+        m = self.cgan[tag]
+        nb = -(-n // serve_batch) * serve_batch
+        pieces = []
+        key = jax.random.key(seed)
+        for _ in range(nb // serve_batch):          # fixed compiled shape
+            key, sub = jax.random.split(key)
+            pieces.append(np.asarray(
+                generate_batch(m["G"], m["bn"], m["cfg"], sub, serve_batch,
+                               label), dtype=np.float32))
+        X = np.concatenate(pieces, axis=0)[:n]      # (n, C, T)
+        if inverse_scale:
+            sc = self._bucket_scalers(tag, label)
+            if sc is not None:
+                X = X * sc[1][None, :, None] + sc[0][None, :, None]
+        return X.transpose(0, 2, 1)                 # (n, T, C) NPZ layout
+
+    def _load_timegan(self, runs_dir: Path, prefer_latest: bool):
         import jax
         from eegsynth.models.timegan import TimeGANConfig, timegan_init
         from eegsynth.train.checkpoint import load_checkpoint, load_meta
 
-        self.models: dict[str, dict] = {}
+        real_dir = self.real_dir
         for rd in sorted(Path(runs_dir).iterdir()):
             if not (rd.is_dir() and re.match(r"posture\d+_(with_exo|no_exo)$", rd.name)):
                 continue
@@ -78,8 +146,6 @@ class ModelRegistry:
                 "meta": meta, "fs": fs,
                 "scale_min": scale_min, "scale_range": scale_range,
             }
-        if not self.models:
-            raise SystemExit(f"No servable checkpoints under {runs_dir}")
 
     def synthesize(self, run: str, n: int, seq_len: int, seed: int,
                    denorm: bool, serve_batch: int, time_chunk: int) -> np.ndarray:
@@ -118,34 +184,61 @@ def make_handler(reg: ModelRegistry, serve_batch: int, time_chunk: int):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {"status": "ok", "runs": sorted(reg.models)})
+                self._json(200, {"status": "ok", "runs": sorted(reg.models),
+                                 "cgan": sorted(reg.cgan)})
             elif self.path == "/runs":
                 self._json(200, {
-                    name: {"z_dim": m["cfg"].z_dim, "h_dim": m["cfg"].h_dim,
-                           "x_dim": m["cfg"].x_dim, "fs": m["fs"],
-                           "step": m["meta"].get("step"),
-                           "has_scalers": m["scale_min"] is not None}
-                    for name, m in reg.models.items()})
+                    "timegan": {
+                        name: {"z_dim": m["cfg"].z_dim, "h_dim": m["cfg"].h_dim,
+                               "x_dim": m["cfg"].x_dim, "fs": m["fs"],
+                               "step": m["meta"].get("step"),
+                               "has_scalers": m["scale_min"] is not None}
+                        for name, m in reg.models.items()},
+                    "cgan": {
+                        name: {"arch": m["meta"].get("arch", "conv"),
+                               "variant": m["meta"].get("variant", "v1"),
+                               "num_classes": m["cfg"].num_classes,
+                               "noise_dim": m["cfg"].noise_dim}
+                        for name, m in reg.cgan.items()}})
             else:
                 self._json(404, {"error": "unknown path"})
 
+        def _post_cgan(self, req):
+            tag = req["model"]
+            if tag not in reg.cgan:
+                return None, self._json(404, {"error": f"unknown model {tag!r}",
+                                              "models": sorted(reg.cgan)})
+            n = int(req.get("n", 16))
+            label = int(req.get("label", 0))
+            ncls = reg.cgan[tag]["cfg"].num_classes
+            if not (1 <= n <= 65536 and 0 <= label < ncls):
+                return None, self._json(400, {"error": "n or label out of range"})
+            return reg.synthesize_cgan(tag, label, n, int(req.get("seed", 0)),
+                                       bool(req.get("inverse_scale", False)),
+                                       serve_batch), None
+
         def do_POST(self):
-            if self.path != "/synthesize":
+            if self.path not in ("/synthesize", "/synthesize_cgan"):
                 return self._json(404, {"error": "unknown path"})
             try:
                 req = json.loads(self.rfile.read(
                     int(self.headers.get("Content-Length", 0)) or 0) or b"{}")
-                run = req["run"]
-                if run not in reg.models:
-                    return self._json(404, {"error": f"unknown run {run!r}",
-                                            "runs": sorted(reg.models)})
-                n = int(req.get("n", 16))
-                seq_len = int(req.get("seq_len", 768))
-                if not (1 <= n <= 65536 and 1 <= seq_len <= 1 << 20):
-                    return self._json(400, {"error": "n or seq_len out of range"})
-                X = reg.synthesize(run, n, seq_len, int(req.get("seed", 0)),
-                                   bool(req.get("denorm", False)),
-                                   serve_batch, time_chunk)
+                if self.path == "/synthesize_cgan":
+                    X, err = self._post_cgan(req)
+                    if X is None:
+                        return err
+                else:
+                    run = req["run"]
+                    if run not in reg.models:
+                        return self._json(404, {"error": f"unknown run {run!r}",
+                                                "runs": sorted(reg.models)})
+                    n = int(req.get("n", 16))
+                    seq_len = int(req.get("seq_len", 768))
+                    if not (1 <= n <= 65536 and 1 <= seq_len <= 1 << 20):
+                        return self._json(400, {"error": "n or seq_len out of range"})
+                    X = reg.synthesize(run, n, seq_len, int(req.get("seed", 0)),
+                                       bool(req.get("denorm", False)),
+                                       serve_batch, time_chunk)
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 return self._json(400, {"error": str(e)})
             if req.get("format", "npz") == "json":
@@ -168,6 +261,9 @@ def main():
     ap.add_argument("--runs_dir", type=str, default="./timegan_runs")
     ap.add_argument("--real_dir", type=str, default="./preprocessed",
                     help="real buckets for x_dim/fs/denorm scalers")
+    ap.add_argument("--cgan_root", type=str, default=None,
+                    help="also serve CGAN generators found under this root "
+                         "(<root>/<tag>/CGAN_generator_<tag>_{best,last}.npz)")
     ap.add_argument("--host", type=str, default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8777)
     ap.add_argument("--prefer_latest", action="store_true")
@@ -179,10 +275,11 @@ def main():
                     help="pre-compile the serving shape for every run at startup")
     args = ap.parse_args()
 
-    reg = ModelRegistry(Path(args.runs_dir), Path(args.real_dir),
-                        args.prefer_latest)
-    print(f"[serve] loaded {len(reg.models)} models: {sorted(reg.models)}",
-          flush=True)
+    runs_dir = Path(args.runs_dir) if Path(args.runs_dir).is_dir() else None
+    reg = ModelRegistry(runs_dir, Path(args.real_dir), args.prefer_latest,
+                        cgan_root=Path(args.cgan_root) if args.cgan_root else None)
+    print(f"[serve] loaded {len(reg.models)} TimeGAN + {len(reg.cgan)} CGAN "
+          f"models: {sorted(reg.models) + sorted(reg.cgan)}", flush=True)
     if args.warmup:
         for name in reg.models:
             reg.synthesize(name, 1, args.time_chunk, 0, False,

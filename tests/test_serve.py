@@ -39,7 +39,19 @@ def served(tmp_path_factory):
              scale_min=np.full((3,), 2.0, np.float32),
              scale_range=np.full((3,), 10.0, np.float32))
 
-    reg = ModelRegistry(runs, real)
+    # one tiny CGAN generator (v1, conv, 9 classes) under its own root
+    from eegsynth.train.cgan import (
+        CGANHParams, build_cfg, generator_init, generator_meta,
+    )
+    cgan_root = root / "cgan"
+    (cgan_root / "no_exo").mkdir(parents=True)
+    chp = CGANHParams(noise_dim=8)
+    ccfg = build_cfg(chp, 9)
+    G, bn = generator_init(jax.random.key(1), ccfg)
+    save_checkpoint(cgan_root / "no_exo" / "CGAN_generator_no_exo_best.npz",
+                    {"model": G, "bn": bn}, generator_meta(chp, 9, "no_exo"))
+
+    reg = ModelRegistry(runs, real, cgan_root=cgan_root)
     srv = HTTPServer(("127.0.0.1", 0), make_handler(reg, serve_batch=4, time_chunk=16))
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -61,8 +73,10 @@ def test_healthz_and_runs(served):
     status, _, data = _request(served, "GET", "/healthz")
     assert status == 200 and json.loads(data)["runs"] == ["posture1_no_exo"]
     status, _, data = _request(served, "GET", "/runs")
-    info = json.loads(data)["posture1_no_exo"]
+    obj = json.loads(data)
+    info = obj["timegan"]["posture1_no_exo"]
     assert info["z_dim"] == 16 and info["has_scalers"]
+    assert obj["cgan"]["no_exo"]["num_classes"] == 9
 
 
 def test_synthesize_npz_padded_shapes(served):
@@ -88,6 +102,21 @@ def test_synthesize_denorm_and_json(served):
     # sigmoid-free recovery head is unbounded, but denorm must apply the affine:
     # values of X*10+2 for X in roughly [-1, 1] land well outside [0, 1]
     assert X.max() > 1.0 or X.min() < 0.0
+
+
+def test_synthesize_cgan(served):
+    status, _, data = _request(served, "GET", "/healthz")
+    assert json.loads(data)["cgan"] == ["no_exo"]
+    status, ctype, data = _request(served, "POST", "/synthesize_cgan",
+                                   {"model": "no_exo", "label": 3, "n": 6,
+                                    "seed": 1})
+    assert status == 200 and ctype == "application/octet-stream"
+    X = np.load(io.BytesIO(data))["X"]
+    assert X.shape == (6, 768, 14)       # (n, T, C) layout, n padded 4+4→6
+    assert np.isfinite(X).all()
+    status, _, _ = _request(served, "POST", "/synthesize_cgan",
+                            {"model": "no_exo", "label": 9, "n": 2})
+    assert status == 400                  # label out of range
 
 
 def test_errors(served):
