@@ -47,15 +47,18 @@ def _forward_last(params, x):
     return last @ params["out"]["w"].T + params["out"]["b"]
 
 
-def _pad_rows(arrs, mult: int = 64):
-    """Zero-pad the batch axis to a multiple of ``mult``; returns
-    (*padded, weights). Fixed shapes mean ONE compile of the jitted training
-    scan serves every (posture, condition) pair — per-pair shapes previously
-    forced a fresh multi-minute remote-tunnel compile each (the dominant cost
-    of evaluate_18 over 18 buckets). Zero-weight rows contribute exact zeros
-    to the weighted losses, so results are unchanged."""
+def _pad_rows(arrs, floor: int = 64):
+    """Zero-pad the batch axis UP to the next power of two (≥ ``floor``);
+    returns (*padded, weights). Bucket row counts vary 26–186 (and ~3.3k for
+    the global pass), and every distinct shape costs a fresh multi-minute
+    remote-tunnel compile of the jitted training scan — pow-2 rounding bounds
+    the distinct shapes at log-many (64, 128, 256, …) while capping padded
+    compute at 2×. Zero-weight rows contribute exact zeros to the weighted
+    losses, so results are unchanged."""
     n = arrs[0].shape[0]
-    m = -(-n // mult) * mult
+    m = floor
+    while m < n:
+        m *= 2
     w = np.zeros((m,), np.float32)
     w[:n] = 1.0
     out = []

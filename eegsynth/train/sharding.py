@@ -27,9 +27,17 @@ def init_multihost(coordinator_address: str | None = None,
     Thin wrapper over ``jax.distributed.initialize`` (SURVEY.md §5: the
     communication backend the reference lacks). On Cloud TPU the three
     arguments auto-detect from the environment; pass them explicitly elsewhere.
-    The returned mesh spans every chip in the slice — gradient all-reduce then
-    rides ICI within a host and DCN across hosts, inserted by GSPMD from the
-    same sharding annotations as the single-host path (no trainer changes).
+    MUST run before anything initializes the local backend (any
+    ``jax.devices()`` / array op) — the CLIs order it first.
+
+    Status: experimental (this environment has one chip, so multi-host runs
+    are untested). The returned mesh spans every chip in the slice; gradient
+    all-reduce rides ICI within a host and DCN across, inserted by GSPMD from
+    the same sharding annotations as the single-host path. Known caveats for
+    a real multi-host run: per-host input arrays must be assembled with
+    ``jax.make_array_from_process_local_data`` before a global-mesh
+    ``with_sharding_constraint`` will accept them, and artifact writes happen
+    on the coordinator only (trainers gate on :func:`is_coordinator`).
     """
     kwargs = {}
     if coordinator_address is not None:
@@ -37,6 +45,11 @@ def init_multihost(coordinator_address: str | None = None,
                       num_processes=num_processes, process_id=process_id)
     jax.distributed.initialize(**kwargs)
     return data_mesh()
+
+
+def is_coordinator() -> bool:
+    """True on the process that owns artifact writes (always true single-host)."""
+    return jax.process_index() == 0
 
 
 def mesh_from_flags(use_mesh: bool, multihost: bool = False) -> Mesh | None:

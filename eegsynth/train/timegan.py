@@ -27,6 +27,7 @@ replacement per step (shape-static, distribution-equivalent).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from pathlib import Path
 
@@ -47,7 +48,9 @@ from eegsynth.models.timegan import (
 from eegsynth.nn.gru import gru_stack_apply
 from eegsynth.nn.spectral_norm import sn_dense_apply
 from eegsynth.train import checkpoint as ckpt_io
-from eegsynth.train.sharding import constrain_batch, round_batch_to_mesh
+from eegsynth.train.sharding import (
+    constrain_batch, is_coordinator, round_batch_to_mesh,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -347,7 +350,8 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
     log_file = out_dir / "train_log.csv"
     ckpt_latest = out_dir / "ckpt_latest.npz"
     resuming = resume and ckpt_latest.exists()
-    if not resuming:
+    write_artifacts = is_coordinator()  # multi-host: coordinator writes only
+    if not resuming and write_artifacts:
         with open(log_file, "w") as f:
             f.write("step,phase,loss_D,acc_D,loss_G,loss_adv,loss_sup,loss_rec,loss_cov,loss_acf\n")
 
@@ -407,9 +411,15 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
             best_step = jnp.int32(bmeta.get("step", 0))
         key = jax.random.fold_in(key, start_step)
         print(f"[resume] {npz_path.name} from step {start_step}", flush=True)
-    meta = {"npz": npz_path.name, "z_dim": z_dim, "h_dim": h_dim}
+    # x_dim/layers beyond the reference's meta: loaders (serve_synthesis,
+    # generate_long_synth) can rebuild non-default geometries without the
+    # real NPZ on hand
+    meta = {"npz": npz_path.name, "z_dim": z_dim, "h_dim": h_dim,
+            "x_dim": C, "layers": hp.layers}
 
     def save(path, p, dstate_, gstate_, step, extra_meta=None):
+        if not write_artifacts:
+            return
         ckpt_io.save_checkpoint(path, {"model": p, "optG": gstate_, "optD": dstate_},
                                 {**meta, "step": int(step), **(extra_meta or {})})
 
@@ -428,7 +438,7 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
             sub, jnp.int32(done), jnp.arange(1, n_steps + 1, dtype=jnp.int32), X)
         logs = np.asarray(logs)
         done += n_steps
-        with open(log_file, "a") as f:
+        with open(log_file if write_artifacts else os.devnull, "a") as f:
             for i in range(n_steps):
                 s = done - n_steps + i + 1
                 row = logs[i]
@@ -458,17 +468,34 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
     # Final sampling, same count as real (train_timegan.py:416-421)
     key, sub = jax.random.split(key)
     X_hat = synthesize(params, cfg, sub, N, T)
-    np.savez_compressed(out_dir / "synthetic.npz", X=np.asarray(X_hat, dtype=np.float32))
-    print(f"Saved synthetic: {out_dir / 'synthetic.npz'}", flush=True)
+    if write_artifacts:
+        np.savez_compressed(out_dir / "synthetic.npz",
+                            X=np.asarray(X_hat, dtype=np.float32))
+        print(f"Saved synthetic: {out_dir / 'synthetic.npz'}", flush=True)
 
     return {"steps_per_sec": steps_per_sec, "gan_seconds": gan_seconds,
             "best_step": int(best_step), "best_loss": float(best_loss),
             "params": params, "cfg": cfg}
 
 
+# Module-level jits: serve_synthesis calls synthesize per HTTP request, and a
+# per-call `@jax.jit` closure would re-trace every time (jit caches on function
+# identity) — hoisting keeps warm requests at executable-lookup cost.
+@jax.jit
+def _synth_run(p, z):
+    _, x_hat = fused_gen_refine(p, z, with_decode=True)
+    return x_hat
+
+
+@jax.jit
+def _synth_step(p, z, carry):
+    carry, (_, x_hat) = fused_gen_refine_carry(p, z, carry, with_decode=True)
+    return x_hat, carry
+
+
 def synthesize(params, cfg: TimeGANConfig, key, n: int, seq_len: int,
                batch: int | None = None,
-               time_chunk: int | None = None) -> jax.Array:
+               time_chunk: int | None = None):
     """Z → decode(refine(gen(Z))) (train_timegan.py:416-419;
     generate_long_synth.py:117-121). Static shape per (n, seq_len).
 
@@ -481,36 +508,33 @@ def synthesize(params, cfg: TimeGANConfig, key, n: int, seq_len: int,
     ``batch`` micro-batches huge n at one compiled shape to cap memory.
     ``time_chunk`` streams the sequence axis: the GRU hidden states are
     carried across fixed-(batch, time_chunk) dispatches, so ANY requested
-    length reuses one compiled executable and device memory stays bounded —
-    bit-identical to the one-shot scan (GRUs are strictly causal). Falls back
-    to one-shot for multi-layer stacks (not the reference configuration)."""
+    length reuses one compiled executable, and chunk outputs accumulate on the
+    host — device memory stays bounded at one (batch, time_chunk, C) buffer.
+    A chunked run over the SAME noise is bit-identical to the one-shot scan
+    (GRUs are strictly causal; tests/test_timegan_fused.py). Note on seeds:
+    noise keys are split per micro-batch and per time chunk, so the same seed
+    reproduces outputs only for identical (n, seq_len, batch, time_chunk) —
+    requests of different sizes draw different noise. Falls back to one-shot
+    for multi-layer stacks (not the reference configuration)."""
     from eegsynth.models.timegan import _fusable, cascade_init_carry
 
     chunked = (time_chunk is not None and time_chunk < seq_len
                and _fusable(params))
     if not chunked:
-        @jax.jit
-        def run(p, z):
-            _, x_hat = fused_gen_refine(p, z, with_decode=True)
-            return x_hat
-
-        run_batch = lambda p, k, b: run(p, sample_noise(k, b, seq_len, cfg.z_dim))
+        run_batch = lambda p, k, b: _synth_run(
+            p, sample_noise(k, b, seq_len, cfg.z_dim))
     else:
-        @jax.jit
-        def step(p, z, carry):
-            carry, (_, x_hat) = fused_gen_refine_carry(p, z, carry,
-                                                       with_decode=True)
-            return x_hat, carry
-
         def run_batch(p, k, b):
+            # chunk outputs land on HOST so device memory stays bounded at one
+            # (b, time_chunk, C) buffer regardless of seq_len
             carry = cascade_init_carry(p, b)
             pieces = []
             for t0 in range(0, seq_len, time_chunk):
                 k, sub = jax.random.split(k)
                 z = sample_noise(sub, b, time_chunk, cfg.z_dim)  # static shape
-                x, carry = step(p, z, carry)
-                pieces.append(x[:, :min(time_chunk, seq_len - t0)])
-            return jnp.concatenate(pieces, axis=1)
+                x, carry = _synth_step(p, z, carry)
+                pieces.append(np.asarray(x[:, :min(time_chunk, seq_len - t0)]))
+            return np.concatenate(pieces, axis=1)
 
     if batch is None or batch >= n:
         return run_batch(params, key, n)
@@ -518,5 +542,5 @@ def synthesize(params, cfg: TimeGANConfig, key, n: int, seq_len: int,
     for i in range(0, n, batch):
         key, sub = jax.random.split(key)
         m = min(batch, n - i)
-        pieces.append(run_batch(params, sub, batch)[:m])
-    return jnp.concatenate(pieces, axis=0)
+        pieces.append(np.asarray(run_batch(params, sub, batch)[:m]))
+    return np.concatenate(pieces, axis=0)

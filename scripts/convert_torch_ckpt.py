@@ -89,6 +89,8 @@ def convert_file(pt_path: Path, out_path: Path) -> dict:
     sd = torch.load(pt_path, map_location="cpu", weights_only=False)
     params = convert_timegan_model(sd["model"])
     meta = {**sd.get("meta", {}), "step": int(sd.get("step", 0)),
+            "x_dim": int(params["embedder"]["gru"][0]["w_ih"].shape[1]),
+            "layers": len(params["embedder"]["gru"]),
             "converted_from": pt_path.name, "model_only": True}
     save_checkpoint(out_path, {"model": params}, meta)
     return meta

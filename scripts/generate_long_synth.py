@@ -75,7 +75,8 @@ def main():
         import json
         raw = np.load(ckpt)
         meta = json.loads(bytes(raw["__meta__"]).decode("utf-8"))
-        cfg = TimeGANConfig(x_dim=C, z_dim=int(meta["z_dim"]), h_dim=int(meta["h_dim"]))
+        cfg = TimeGANConfig(x_dim=C, z_dim=int(meta["z_dim"]), h_dim=int(meta["h_dim"]),
+                            num_layers=int(meta.get("layers", 1)))
         template = timegan_init(jax.random.key(0), cfg)
         trees, _ = load_checkpoint(ckpt, {"model": template})
         params = trees["model"]

@@ -14,6 +14,10 @@ The reference's only inference surface is a batch script
 
 API (stdlib http.server; single-threaded by design — one TPU process, queued
 requests):
+Seed semantics: `seed` reproduces outputs for identical (run, n, seq_len) and
+server shape config — requests of different sizes consume the key stream
+differently and draw different noise.
+
     GET  /healthz              -> {"status": "ok", "runs": [...]}
     GET  /runs                 -> per-run metadata (dims, step, scalers)
     POST /synthesize           body: {"run": "posture1_no_exo", "n": 64,
@@ -37,6 +41,12 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Per-request caps: the host concat of a maxed request stays ~100s of MB, and
+# JSON (Python-float) responses stay small. One oversized request must not OOM
+# the process holding every device-resident model.
+MAX_SAMPLES_PER_REQUEST = 1 << 22        # n * seq_len (≈235 MB f32 at C=14)
+MAX_JSON_ELEMENTS = 1 << 22
 
 
 class ModelRegistry:
@@ -127,7 +137,7 @@ class ModelRegistry:
                 continue
             meta = load_meta(ckpt)
             scale_min = scale_range = None
-            x_dim, fs = 14, 128.0
+            x_dim, fs = int(meta.get("x_dim", 14)), 128.0
             if real_dir is not None:
                 real_fp = Path(real_dir) / f"{rd.name}.npz"
                 if real_fp.exists():
@@ -138,7 +148,8 @@ class ModelRegistry:
                         scale_min = real["scale_min"].astype(np.float32)
                         scale_range = real["scale_range"].astype(np.float32)
             cfg = TimeGANConfig(x_dim=x_dim, z_dim=int(meta["z_dim"]),
-                                h_dim=int(meta["h_dim"]))
+                                h_dim=int(meta["h_dim"]),
+                                num_layers=int(meta.get("layers", 1)))
             template = timegan_init(jax.random.key(0), cfg)
             trees, _ = load_checkpoint(ckpt, {"model": template})
             self.models[rd.name] = {
@@ -236,12 +247,18 @@ def make_handler(reg: ModelRegistry, serve_batch: int, time_chunk: int):
                     seq_len = int(req.get("seq_len", 768))
                     if not (1 <= n <= 65536 and 1 <= seq_len <= 1 << 20):
                         return self._json(400, {"error": "n or seq_len out of range"})
+                    if n * seq_len > MAX_SAMPLES_PER_REQUEST:
+                        return self._json(400, {
+                            "error": f"n*seq_len > {MAX_SAMPLES_PER_REQUEST} "
+                                     "(split into multiple requests)"})
                     X = reg.synthesize(run, n, seq_len, int(req.get("seed", 0)),
                                        bool(req.get("denorm", False)),
                                        serve_batch, time_chunk)
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 return self._json(400, {"error": str(e)})
             if req.get("format", "npz") == "json":
+                if X.size > MAX_JSON_ELEMENTS:
+                    return self._json(400, {"error": "too large for json; use npz"})
                 return self._json(200, {"shape": list(X.shape),
                                         "X": X.tolist()})
             buf = io.BytesIO()
@@ -281,10 +298,19 @@ def main():
     print(f"[serve] loaded {len(reg.models)} TimeGAN + {len(reg.cgan)} CGAN "
           f"models: {sorted(reg.models) + sorted(reg.cgan)}", flush=True)
     if args.warmup:
-        for name in reg.models:
+        for i, name in enumerate(reg.models):
+            # one-shot executable (seq_len == time_chunk) for every model;
+            # the chunked carry executable (seq_len > time_chunk) once — the
+            # jitted fns are shared, so one compile covers all models
             reg.synthesize(name, 1, args.time_chunk, 0, False,
                            args.serve_batch, args.time_chunk)
+            if i == 0:
+                reg.synthesize(name, 1, 2 * args.time_chunk, 0, False,
+                               args.serve_batch, args.time_chunk)
             print(f"[serve] warmed {name}", flush=True)
+        for tag in reg.cgan:
+            reg.synthesize_cgan(tag, 0, 1, 0, False, args.serve_batch)
+            print(f"[serve] warmed cgan {tag}", flush=True)
 
     srv = HTTPServer((args.host, args.port),
                      make_handler(reg, args.serve_batch, args.time_chunk))

@@ -77,16 +77,17 @@ def main():
             hp[k] = typ(cfg[k])
 
     from eegsynth.data.io import bucket_paths
-    import jax
+    from eegsynth.train.sharding import mesh_from_flags
 
     files = bucket_paths(data_dir)
     if not files:
         raise SystemExit(f"No NPZs found in {data_dir}. Run preprocessing first.")
+    # mesh_from_flags FIRST: jax.distributed.initialize must run before
+    # anything (jax.devices() included) initializes the local backend
+    mesh = mesh_from_flags(args.mesh, args.multihost)
+    import jax
     print(f"Using devices: {jax.devices()}")
     print(f"Found {len(files)} datasets → training {len(files)} models.")
-
-    from eegsynth.train.sharding import mesh_from_flags
-    mesh = mesh_from_flags(args.mesh, args.multihost)
     if mesh is not None:
         print(f"Data-parallel mesh: {dict(mesh.shape)}")
 
