@@ -127,3 +127,10 @@ def test_errors(served):
     assert status == 400
     status, _, _ = _request(served, "GET", "/bogus")
     assert status == 404
+
+
+def test_request_size_cap(served):
+    status, _, data = _request(served, "POST", "/synthesize",
+                               {"run": "posture1_no_exo", "n": 65536,
+                                "seq_len": 1024})
+    assert status == 400 and "n*seq_len" in json.loads(data)["error"]
