@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import time
 from pathlib import Path
 
@@ -44,7 +45,7 @@ from eegsynth.models import cgan_transformer as _tf_model
 from eegsynth.models.cgan import CGANConfig
 from eegsynth.models.cgan_transformer import TransformerCGANConfig
 from eegsynth.train import checkpoint as ckpt_io
-from eegsynth.train.sharding import constrain_batch
+from eegsynth.train.sharding import constrain_batch, is_coordinator
 
 NUM_POSTURES = 9
 
@@ -387,9 +388,11 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
                 tag: str, label_base: int, resume: str = "", log=print,
                 mesh=None) -> dict:
     """Shared driver: tag is '{condition}' (v1) or 'posture{p}' (v2)."""
+    write_artifacts = is_coordinator()  # multi-host: coordinator writes only
     save_dir.mkdir(parents=True, exist_ok=True)
-    with open(save_dir / "hparams.json", "w") as f:
-        json.dump({**dataclasses.asdict(hp), "tag": tag}, f, indent=2)
+    if write_artifacts:
+        with open(save_dir / "hparams.json", "w") as f:
+            json.dump({**dataclasses.asdict(hp), "tag": tag}, f, indent=2)
 
     key = jax.random.key(hp.seed)
     kG, kDg, kDl, key = jax.random.split(key, 4)
@@ -424,8 +427,8 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
     total_epochs = hp.prewarm + hp.epochs
     log(f"[{tag}] Training {total_epochs} epochs, steps/epoch ≈ {steps}")
 
-    metrics_csv = save_dir / "metrics.csv"
-    if not metrics_csv.exists():
+    metrics_csv = save_dir / "metrics.csv" if write_artifacts else Path(os.devnull)
+    if write_artifacts and not metrics_csv.exists():
         metrics_csv.write_text(METRICS_HEADER_V2 if hp.variant == "v2"
                                else METRICS_HEADER_V1)
 
@@ -436,6 +439,8 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
     }
 
     def save_generator(path, params, bn_state):
+        if not write_artifacts:
+            return
         ckpt_io.save_checkpoint(path, {"model": params, "bn": bn_state},
                                 generator_meta(hp, cfg.num_classes, tag))
 
@@ -450,7 +455,7 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
 
     def flush_best():
         nonlocal best_dirty
-        if not best_dirty:
+        if not best_dirty or not write_artifacts:
             return
         save_generator(save_dir / f"CGAN_generator_{tag}_best.npz",
                        best["G"], best["bn"])
@@ -495,10 +500,11 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
                 best_dirty = True
 
         if ep % hp.save_every == 0:
-            ckpt_io.save_checkpoint(
-                save_dir / f"checkpoint_epoch{ep}.npz",
-                {"G": G, "bn": bn, "D": D, "ema": ema, "optG": g_state, "optD": d_state},
-                {"epoch": ep, "g_loss": g_loss, "d_loss": d_loss, "tag": tag})
+            if write_artifacts:
+                ckpt_io.save_checkpoint(
+                    save_dir / f"checkpoint_epoch{ep}.npz",
+                    {"G": G, "bn": bn, "D": D, "ema": ema, "optG": g_state, "optD": d_state},
+                    {"epoch": ep, "g_loss": g_loss, "d_loss": d_loss, "tag": tag})
             save_generator(save_dir / f"CGAN_generator_{tag}_epoch{ep}.npz", G, bn)
             flush_best()
 
