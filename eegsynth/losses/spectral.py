@@ -32,33 +32,51 @@ def psd_loss(real: jax.Array, fake: jax.Array) -> jax.Array:
     return jnp.mean(jnp.abs(P_f - P_r))
 
 
-def _pair_coherence(x: jax.Array, pairs: jax.Array) -> jax.Array:
+def _pair_coherence(x: jax.Array, sel_a: jax.Array, sel_b: jax.Array) -> jax.Array:
     """Per-sample normalized cross-spectrum magnitude, batch-meaned:
     mean_B |A·conj(B)| / sqrt(|A|²|B|² + 1e-8) → (P, F). Matches the reference's
-    per-pair ``coh`` (cgan.py:293-298)."""
+    per-pair ``coh`` (cgan.py:293-298). Pair channels are selected with one-hot
+    matmuls (sel (P, C)) instead of index gathers — traced indices otherwise
+    lower to data-dependent gathers, which compile pathologically slowly
+    through the remote TPU toolchain (CLAUDE.md)."""
     spec = jnp.fft.rfft(x, axis=2)                 # (B, C, F)
-    A = spec[:, pairs[:, 0], :]                    # (B, P, F)
-    Bc = spec[:, pairs[:, 1], :]
+    A = jnp.einsum("pc,bcf->bpf", sel_a, spec)     # (B, P, F)
+    Bc = jnp.einsum("pc,bcf->bpf", sel_b, spec)
     cross = A * jnp.conj(Bc)
     num = jnp.sqrt(cross.real ** 2 + cross.imag ** 2)
     den = jnp.sqrt((A.real ** 2 + A.imag ** 2) * (Bc.real ** 2 + Bc.imag ** 2) + 1e-8)
     return jnp.mean(num / den, axis=0)
 
 
+def _pair_selectors(pairs: jax.Array, num_channels: int, dtype):
+    pairs = jnp.asarray(pairs)
+    return (jax.nn.one_hot(pairs[:, 0], num_channels, dtype=dtype),
+            jax.nn.one_hot(pairs[:, 1], num_channels, dtype=dtype))
+
+
 def coh_loss(real: jax.Array, fake: jax.Array, pairs) -> jax.Array:
     """Mean-over-pairs L1 coherence difference (cgan.py:291-304)."""
-    pairs = jnp.asarray(pairs)
-    cr = _pair_coherence(real, pairs)
-    cf = _pair_coherence(fake, pairs)
+    sel_a, sel_b = _pair_selectors(pairs, real.shape[1], real.dtype)
+    cr = _pair_coherence(real, sel_a, sel_b)
+    cf = _pair_coherence(fake, sel_a, sel_b)
     return jnp.mean(jnp.abs(cf - cr))
 
 
 def coh_loss_random(key: jax.Array, real: jax.Array, fake: jax.Array,
                     num_pairs: int = 24) -> jax.Array:
-    """24 random pairs из all 91 per step (cgan_v2.py:214-229)."""
-    idx = jax.random.permutation(key, len(ALL_PAIRS))[:num_pairs]
-    pairs = jnp.asarray(ALL_PAIRS)[idx]
-    return coh_loss(real, fake, pairs)
+    """24 random pairs out of all 91 per step (cgan_v2.py:214-229). The pair
+    subset is selected by one-hot matmul over a permutation of the constant
+    pair table (no traced gather)."""
+    dt = real.dtype
+    perm = jax.random.permutation(key, len(ALL_PAIRS))[:num_pairs]
+    sel_pairs = jax.nn.one_hot(perm, len(ALL_PAIRS), dtype=dt)   # (P, 91)
+    pairs_f = sel_pairs @ jnp.asarray(ALL_PAIRS, dt)             # (P, 2)
+    C = real.shape[1]
+    sel_a = jax.nn.one_hot(pairs_f[:, 0].astype(jnp.int32), C, dtype=dt)
+    sel_b = jax.nn.one_hot(pairs_f[:, 1].astype(jnp.int32), C, dtype=dt)
+    cr = _pair_coherence(real, sel_a, sel_b)
+    cf = _pair_coherence(fake, sel_a, sel_b)
+    return jnp.mean(jnp.abs(cf - cr))
 
 
 def cov_loss(real: jax.Array, fake: jax.Array) -> jax.Array:
@@ -91,31 +109,36 @@ def posture_conditional_losses(real: jax.Array, fake: jax.Array, labels: jax.Arr
             # weighted mean over batch with weights w (zero rows drop out)
             return jnp.sum(v * axis0_weights, axis=0) / n
 
-        # PSD: weighted batch-mean power
-        Fr = jnp.fft.rfft(real, axis=2)
-        Ff = jnp.fft.rfft(fake, axis=2)
-        P_r = wmean(Fr.real ** 2 + Fr.imag ** 2, wr)
-        P_f = wmean(Ff.real ** 2 + Ff.imag ** 2, wr)
-        l = psd_w * jnp.mean(jnp.abs(P_f - P_r))
+        # Python-level gating mirrors the reference's `if psd_w > 0:` — a
+        # zero weight keeps the whole FFT/einsum chain out of the compiled
+        # graph (XLA won't fold x*0 through an FFT)
+        l = jnp.float32(0.0)
+        if psd_w > 0:
+            Fr = jnp.fft.rfft(real, axis=2)
+            Ff = jnp.fft.rfft(fake, axis=2)
+            P_r = wmean(Fr.real ** 2 + Fr.imag ** 2, wr)
+            P_f = wmean(Ff.real ** 2 + Ff.imag ** 2, wr)
+            l = l + psd_w * jnp.mean(jnp.abs(P_f - P_r))
 
-        # Coherence on the 4 fixed pairs
-        def coh_stat(x):
-            spec = jnp.fft.rfft(x, axis=2)
-            A = spec[:, pairs[:, 0], :]
-            Bc = spec[:, pairs[:, 1], :]
-            cross = A * jnp.conj(Bc)
-            num = jnp.sqrt(cross.real ** 2 + cross.imag ** 2)
-            den = jnp.sqrt((A.real ** 2 + A.imag ** 2)
-                           * (Bc.real ** 2 + Bc.imag ** 2) + 1e-8)
-            return jnp.sum((num / den) * wr, axis=0) / n
-        l = l + coh_w * jnp.mean(jnp.abs(coh_stat(fake) - coh_stat(real)))
+        if coh_w > 0:
+            # Coherence on the 4 fixed pairs (constant indices fold statically)
+            def coh_stat(x):
+                spec = jnp.fft.rfft(x, axis=2)
+                A = spec[:, pairs[:, 0], :]
+                Bc = spec[:, pairs[:, 1], :]
+                cross = A * jnp.conj(Bc)
+                num = jnp.sqrt(cross.real ** 2 + cross.imag ** 2)
+                den = jnp.sqrt((A.real ** 2 + A.imag ** 2)
+                               * (Bc.real ** 2 + Bc.imag ** 2) + 1e-8)
+                return jnp.sum((num / den) * wr, axis=0) / n
+            l = l + coh_w * jnp.mean(jnp.abs(coh_stat(fake) - coh_stat(real)))
 
-        # Covariance
-        def cov_stat(x):
-            xc = x - jnp.mean(x, axis=2, keepdims=True)
-            cov = jnp.einsum("bct,bdt->bcd", xc, xc) / (x.shape[2] - 1)
-            return jnp.sum(cov * wr[:, :, 0:1], axis=0) / n
-        l = l + cov_w * jnp.mean((cov_stat(fake) - cov_stat(real)) ** 2)
+        if cov_w > 0:
+            def cov_stat(x):
+                xc = x - jnp.mean(x, axis=2, keepdims=True)
+                cov = jnp.einsum("bct,bdt->bcd", xc, xc) / (x.shape[2] - 1)
+                return jnp.sum(cov * wr[:, :, 0:1], axis=0) / n
+            l = l + cov_w * jnp.mean((cov_stat(fake) - cov_stat(real)) ** 2)
         return l
 
     losses = jax.vmap(per_class)(jnp.arange(num_classes))

@@ -71,48 +71,67 @@ def timegan_init(key: jax.Array, cfg: TimeGANConfig, dtype=jnp.float32) -> Param
     return params
 
 
-def _rnn_proj(sub: Params, x: jax.Array) -> jax.Array:
-    y = gru_stack_apply(sub["gru"], x)
+def _rnn_proj(sub: Params, x: jax.Array, *, dropout: float = 0.0,
+              key: jax.Array | None = None, train: bool = False) -> jax.Array:
+    y = gru_stack_apply(sub["gru"], x, dropout=dropout, key=key, train=train)
     if sub.get("proj") is not None:
         y = dense_apply(sub["proj"], y)
     return y
 
 
-def encode(params: Params, x: jax.Array) -> jax.Array:
-    """X → H (timegan_model.py:113)."""
-    return gru_stack_apply(params["embedder"]["gru"], x)
+def encode(params: Params, x: jax.Array, *, dropout: float = 0.0,
+           key: jax.Array | None = None, train: bool = False) -> jax.Array:
+    """X → H (timegan_model.py:113).
+
+    ``dropout``/``key``/``train`` reproduce torch nn.GRU's inter-layer dropout
+    (active only for multi-layer stacks, like the reference's num_layers>1
+    configs; the default single-layer path never consumes the key)."""
+    return gru_stack_apply(params["embedder"]["gru"], x, dropout=dropout,
+                           key=key, train=train)
 
 
-def recover(params: Params, h: jax.Array) -> jax.Array:
+def recover(params: Params, h: jax.Array, *, dropout: float = 0.0,
+            key: jax.Array | None = None, train: bool = False) -> jax.Array:
     """H → X̃ — GRU + output head (timegan_model.py:47-57)."""
-    y = gru_stack_apply(params["recovery"]["gru"], h)
+    y = gru_stack_apply(params["recovery"]["gru"], h, dropout=dropout,
+                        key=key, train=train)
     return dense_apply(params["recovery"]["out"], y)
 
 
-def reconstruct(params: Params, x: jax.Array) -> jax.Array:
-    return recover(params, encode(params, x))
+def reconstruct(params: Params, x: jax.Array, *, dropout: float = 0.0,
+                key: jax.Array | None = None, train: bool = False) -> jax.Array:
+    ke = kr = None
+    if key is not None:
+        ke, kr = jax.random.split(key)
+    h = encode(params, x, dropout=dropout, key=ke, train=train)
+    return recover(params, h, dropout=dropout, key=kr, train=train)
 
 
-def gen_latent(params: Params, z: jax.Array) -> jax.Array:
-    return _rnn_proj(params["generator"], z)
+def gen_latent(params: Params, z: jax.Array, *, dropout: float = 0.0,
+               key: jax.Array | None = None, train: bool = False) -> jax.Array:
+    return _rnn_proj(params["generator"], z, dropout=dropout, key=key, train=train)
 
 
-def refine_latent(params: Params, e: jax.Array) -> jax.Array:
-    return _rnn_proj(params["supervisor"], e)
+def refine_latent(params: Params, e: jax.Array, *, dropout: float = 0.0,
+                  key: jax.Array | None = None, train: bool = False) -> jax.Array:
+    return _rnn_proj(params["supervisor"], e, dropout=dropout, key=key, train=train)
 
 
-def decode(params: Params, h: jax.Array) -> jax.Array:
-    return recover(params, h)
+def decode(params: Params, h: jax.Array, *, dropout: float = 0.0,
+           key: jax.Array | None = None, train: bool = False) -> jax.Array:
+    return recover(params, h, dropout=dropout, key=key, train=train)
 
 
-def discriminate(params: Params, h: jax.Array, train: bool = True):
+def discriminate(params: Params, h: jax.Array, train: bool = True, *,
+                 dropout: float = 0.0, key: jax.Array | None = None):
     """H → p(real) via last-step GRU output + spectral-norm head + sigmoid.
 
     Returns (probs (B,1), updated discriminator params) — the power-iteration
     vector advances once per forward in train mode, as in torch.
     """
     d = params["discriminator"]
-    y = gru_stack_apply(d["gru"], h, impl="xla")  # R1 needs 2nd-order (see trainer)
+    y = gru_stack_apply(d["gru"], h, impl="xla",  # R1 needs 2nd-order (trainer)
+                        dropout=dropout, key=key, train=train)
     last = y[:, -1, :]
     logits, fc_new = sn_dense_apply(d["fc"], last, train=train)
     new_d = {**d, "fc": fc_new}
@@ -165,7 +184,7 @@ def _xproj(layer, x):
 
 
 def _proj(p, v):
-    return v if p is None else v @ p["w"].T + p["b"]
+    return v if p is None else dense_apply(p, v)
 
 
 def _fusable(params) -> bool:

@@ -60,10 +60,8 @@ def set_gru_impl(impl: str) -> None:
 
 
 def _use_pallas() -> bool:
-    if _GRU_IMPL == "pallas":
-        return True
-    if _GRU_IMPL == "xla":
-        return False
+    """Backend test for the resolved impl value "auto" (the global override is
+    applied by the caller before this is consulted)."""
     try:
         return jax.default_backend() not in ("cpu",)
     except Exception:

@@ -3,8 +3,16 @@
 PyTorch hides the power-iteration vector ``u`` inside a forward-pre hook
 (reference: timegan_model.py:92, CGAN/cgan.py:227-231). In JAX the vector is
 part of the parameter pytree and each training forward returns the updated
-state — matching torch semantics: one power iteration per training forward,
-weight divided by the estimated top singular value, no iteration at eval.
+state — matching torch TRAIN semantics exactly: one power iteration per
+training forward, weight divided by the estimated top singular value.
+
+Documented deviation at EVAL: torch caches ``v`` and computes
+``sigma = u·W·v_stored`` with no iteration; we store only ``u`` and re-derive
+``v = normalize(Wᵀu)`` (the same formula torch uses to refresh it), without
+advancing the stored ``u``. At a converged power iteration the two sigmas
+agree to float tolerance (full-model checkpoint parity ≤2e-5,
+tests/test_convert_ckpt.py); keeping ``v`` out of the state keeps checkpoints
+one-vector and loaders simple.
 """
 
 from __future__ import annotations

@@ -48,6 +48,9 @@ def welch_psd(x: jax.Array, fs: float = 128.0, nperseg: int = 256,
                      axis=-2)                                    # (..., n_seg, nperseg)
     if detrend == "constant":
         segs = segs - jnp.mean(segs, axis=-1, keepdims=True)
+    elif detrend:  # don't silently skip e.g. scipy's "linear"
+        raise ValueError(f"unsupported detrend mode {detrend!r} "
+                         "(supported: 'constant', False/None)")
 
     win = hann_periodic(nperseg, dtype=x.dtype)
     scale = 1.0 / (fs * jnp.sum(win * win))

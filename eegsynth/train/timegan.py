@@ -98,14 +98,23 @@ def _make_opt(lr, clip: float, beta1: float, beta2: float):
     return optax.chain(optax.clip_by_global_norm(clip), optax.adam(lr, b1=beta1, b2=beta2))
 
 
-def _disc_apply(d_params, h, train: bool):
+def _disc_apply(d_params, h, train: bool, dropout: float = 0.0, key=None):
     """H → (p(real), updated d) — GRU last step + spectral-norm head + sigmoid
     (timegan_model.py:86-98). Uses the XLA recurrence: the R1 penalty takes a
     second derivative through this forward, which the Pallas kernel's
     first-order custom VJP cannot provide."""
-    y = gru_stack_apply(d_params["gru"], h, impl="xla")
+    y = gru_stack_apply(d_params["gru"], h, impl="xla",
+                        dropout=dropout, key=key, train=train)
     logits, fc_new = sn_dense_apply(d_params["fc"], y[:, -1, :], train=train)
     return jax.nn.sigmoid(logits), {**d_params, "fc": fc_new}
+
+
+def _dropout_cfg(hp: "TimeGANHParams"):
+    """Inter-layer GRU dropout is a multi-layer-only feature (torch semantics:
+    dropout applies BETWEEN layers, so the reference's default layers=1 has
+    none in effect). Returns (rate, active)."""
+    active = hp.dropout > 0.0 and hp.layers > 1
+    return (hp.dropout if active else 0.0), active
 
 
 def _padded_batches(key, n: int, batch: int):
@@ -125,19 +134,28 @@ def _padded_batches(key, n: int, batch: int):
 # --------------------------------------------------------------------------
 
 def make_ae_epoch(hp: TimeGANHParams, opt, mesh=None):
+    do_rate, do_active = _dropout_cfg(hp)
+
     @jax.jit
     def ae_epoch(params, opt_state, X, key):
         n = X.shape[0]
+        if do_active:  # extra split only when dropout is live — keeps the
+            key, k_do = jax.random.split(key)  # default RNG stream unchanged
         idx_b, w_b = _padded_batches(key, n, min(hp.batch_size, n))
+        nb = idx_b.shape[0]
+        dkeys = (jax.random.split(k_do, nb) if do_active
+                 else jnp.zeros((nb, 2), jnp.uint32))
 
         def batch_step(carry, inp):
             params, opt_state = carry
-            idx, w = inp
+            idx, w, dk = inp
             x = constrain_batch(X[idx], mesh)
 
             def loss_fn(er):
                 p = {**params, **er}
-                return recon_loss(x, reconstruct(p, x), weight=w)
+                x_hat = reconstruct(p, x, dropout=do_rate,
+                                    key=dk if do_active else None, train=True)
+                return recon_loss(x, x_hat, weight=w)
 
             er = {"embedder": params["embedder"], "recovery": params["recovery"]}
             loss, grads = jax.value_and_grad(loss_fn)(er)
@@ -145,27 +163,43 @@ def make_ae_epoch(hp: TimeGANHParams, opt, mesh=None):
             er = optax.apply_updates(er, updates)
             return ({**params, **er}, opt_state), loss * jnp.sum(w)
 
-        (params, opt_state), losses = jax.lax.scan(batch_step, (params, opt_state), (idx_b, w_b))
+        (params, opt_state), losses = jax.lax.scan(
+            batch_step, (params, opt_state), (idx_b, w_b, dkeys))
         return params, opt_state, jnp.sum(losses) / n
 
     return ae_epoch
 
 
 def make_sup_epoch(hp: TimeGANHParams, opt, mesh=None):
+    do_rate, do_active = _dropout_cfg(hp)
+
     @jax.jit
     def sup_epoch(params, opt_state, X, key):
         n = X.shape[0]
+        if do_active:
+            key, k_do = jax.random.split(key)
         idx_b, w_b = _padded_batches(key, n, min(hp.batch_size, n))
+        nb = idx_b.shape[0]
+        dkeys = (jax.random.split(k_do, nb) if do_active
+                 else jnp.zeros((nb, 2), jnp.uint32))
 
         def batch_step(carry, inp):
             params, opt_state = carry
-            idx, w = inp
+            idx, w, dk = inp
             x = constrain_batch(X[idx], mesh)
-            h = jax.lax.stop_gradient(encode(params, x))
+            if do_active:
+                dk_e, dk_s = jax.random.split(dk)
+            # torch keeps the module in train mode here, so inter-layer
+            # dropout stays active even under the encoder's no-grad
+            h = jax.lax.stop_gradient(encode(
+                params, x, dropout=do_rate,
+                key=dk_e if do_active else None, train=True))
 
             def loss_fn(sup):
                 p = {**params, "supervisor": sup}
-                h_pred = refine_latent(p, h[:, :-1, :])
+                h_pred = refine_latent(p, h[:, :-1, :], dropout=do_rate,
+                                       key=dk_s if do_active else None,
+                                       train=True)
                 se = (h_pred - h[:, 1:, :]) ** 2
                 wr = w.reshape(-1, 1, 1)
                 return jnp.sum(se * wr) / (jnp.sum(w) * se.shape[1] * se.shape[2])
@@ -175,7 +209,8 @@ def make_sup_epoch(hp: TimeGANHParams, opt, mesh=None):
             sup = optax.apply_updates(params["supervisor"], updates)
             return ({**params, "supervisor": sup}, opt_state), loss * jnp.sum(w)
 
-        (params, opt_state), losses = jax.lax.scan(batch_step, (params, opt_state), (idx_b, w_b))
+        (params, opt_state), losses = jax.lax.scan(
+            batch_step, (params, opt_state), (idx_b, w_b, dkeys))
         return params, opt_state, jnp.sum(losses) / n
 
     return sup_epoch
@@ -187,9 +222,16 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
     band = max(0.0, hp.d_max_acc - hp.d_min_acc)
     noise_decay = (hp.inst_noise_start - hp.inst_noise_end) / max(1, hp.gan_steps)
 
+    do_rate, do_active = _dropout_cfg(hp)
+
     def one_step(carry, step):
         params, d_state, g_state, best_params, best_loss, best_step, key, X, n_valid = carry
         key, k_idx, k_z1, k_nr, k_nf, k_lbl, k_z2, k_ng = jax.random.split(key, 8)
+        if do_active:  # fresh inter-layer dropout masks per forward, as torch
+            key, k_do = jax.random.split(key)
+            dks = list(jax.random.split(k_do, 12))
+        else:
+            dks = [None] * 12
         inst = jnp.maximum(hp.inst_noise_end,
                            hp.inst_noise_start - (step - 1).astype(jnp.float32) * noise_decay)
 
@@ -209,9 +251,11 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
         # (models.timegan.fused_disc_inputs) measured 58.1 vs 58.9 steps/s on
         # v5e — no win at reference sizes; the composed scans stay.
         z = sample_noise(k_z1, B, T, cfg.z_dim)
-        h_real = encode(params, x)                    # E frozen for D update
-        e_hat = gen_latent(params, z)
-        h_fake = refine_latent(params, e_hat)
+        h_real = encode(params, x, dropout=do_rate, key=dks[0],
+                        train=True)                   # E frozen for D update
+        e_hat = gen_latent(params, z, dropout=do_rate, key=dks[1], train=True)
+        h_fake = refine_latent(params, e_hat, dropout=do_rate, key=dks[2],
+                               train=True)
         h_real_n = constrain_batch(add_instance_noise(k_nr, h_real, inst), mesh)
         h_fake_n = constrain_batch(add_instance_noise(k_nf, h_fake, inst), mesh)
         y_real, y_fake = smooth_labels(k_lbl, B, hp.label_smooth)
@@ -220,12 +264,15 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
             # NOTE: stacking real+fake into one 2B disc pass was measured
             # SLOWER (55.1 vs 58.8 steps/s on v5e) — the concat/split
             # materializations outweigh the saved scan at these sizes.
-            d_real, d_after = _disc_apply(d_params, h_real_n, train=True)
-            d_fake, d_after = _disc_apply(d_after, h_fake_n, train=True)
+            d_real, d_after = _disc_apply(d_params, h_real_n, train=True,
+                                          dropout=do_rate, key=dks[3])
+            d_fake, d_after = _disc_apply(d_after, h_fake_n, train=True,
+                                          dropout=do_rate, key=dks[4])
             loss = 0.5 * (bce(d_real, y_real) + bce(d_fake, y_fake))
             if hp.r1_gamma > 0.0:
                 def score_sum(h):
-                    return jnp.sum(_disc_apply(d_params, h, train=False)[0])
+                    return jnp.sum(_disc_apply(d_params, h, train=False,
+                                               dropout=do_rate, key=dks[5])[0])
                 grad_h = jax.grad(score_sum)(h_real_n)
                 r1 = jnp.mean(jnp.sum(grad_h.reshape(B, -1) ** 2, axis=1))
                 loss = loss + 0.5 * hp.r1_gamma * r1
@@ -248,13 +295,16 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
 
         def g_loss_fn(gser):
             p = {**params, **gser}
-            h_hat = refine_latent(p, gen_latent(p, z2))
+            e2 = gen_latent(p, z2, dropout=do_rate, key=dks[6], train=True)
+            h_hat = refine_latent(p, e2, dropout=do_rate, key=dks[7], train=True)
             d_fake, d_after = _disc_apply(params["discriminator"],
-                                          add_instance_noise(k_ng, h_hat, inst), train=True)
+                                          add_instance_noise(k_ng, h_hat, inst),
+                                          train=True, dropout=do_rate, key=dks[8])
             g_adv = bce(d_fake, jnp.ones_like(d_fake))
             g_sup = sup_loss(h_hat)
-            g_rec = recon_loss(x, reconstruct(p, x))
-            x_hat = decode(p, h_hat)
+            g_rec = recon_loss(x, reconstruct(p, x, dropout=do_rate,
+                                              key=dks[9], train=True))
+            x_hat = decode(p, h_hat, dropout=do_rate, key=dks[10], train=True)
             cov_term = cov_loss(x_hat, x) if hp.gamma_cov > 0 else jnp.float32(0.0)
             acf_term = (acf_loss(x_hat, x, hp.acf_max_lag)
                         if hp.gamma_acf > 0 else jnp.float32(0.0))

@@ -149,3 +149,31 @@ def test_synthesize_time_chunked():
                    batch=3, time_chunk=16)
     assert x.shape == (5, 38, 3)
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_multilayer_dropout_engages(tmp_path):
+    # layers>1 + dropout>0: the reference's inter-layer GRU dropout must be
+    # live in training forwards (stochastic across keys) and absent at
+    # inference; layers=1 must be deterministic regardless.
+    from eegsynth.models.timegan import encode
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 16, 3)).astype(np.float32))
+
+    cfg2 = TimeGANConfig(x_dim=3, z_dim=8, h_dim=12, num_layers=2, dropout=0.5)
+    p2 = timegan_init(jax.random.key(0), cfg2)
+    a = encode(p2, x, dropout=0.5, key=jax.random.key(1), train=True)
+    b = encode(p2, x, dropout=0.5, key=jax.random.key(2), train=True)
+    c = encode(p2, x)                       # inference: deterministic
+    d = encode(p2, x)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+
+    # end-to-end: a tiny 2-layer run trains with dropout active
+    from eegsynth.train.timegan import train_single_npz
+    fp = tmp_path / "posture1_no_exo.npz"
+    np.savez(fp, X=rng.uniform(0, 1, (6, 24, 3)).astype(np.float32),
+             fs=np.float32(128.0))
+    res = train_single_npz(fp, tmp_path / "run", ae_epochs=1, sup_epochs=1,
+                           gan_steps=2, chunk=2, batch_size=4, layers=2,
+                           dropout=0.3, acf_max_lag=4)
+    assert np.isfinite(res["best_loss"])
