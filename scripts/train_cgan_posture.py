@@ -43,6 +43,18 @@ def main():
     hp = {k: getattr(args, k) for k in HP_FLAGS if getattr(args, k) is not None}
 
     postures = range(1, 10) if args.posture == "all" else [int(args.posture)]
+    # defensive SKIP for postures without both condition NPZs on disk (the
+    # reference's per-file try/except SKIP pattern, pre-processing.py:147-150)
+    data_dir = Path(args.data_dir)
+    missing = [p for p in postures
+               if not all((data_dir / f"posture{p}_{c}.npz").exists()
+                          for c in ("no_exo", "with_exo"))]
+    if missing:
+        print(f"[skip] postures {missing}: missing condition NPZs under {data_dir}",
+              flush=True)
+        postures = [p for p in postures if p not in missing]
+    if not postures:
+        raise SystemExit("No postures with complete data to train.")
     if args.parallel_postures:
         from eegsynth.train.cgan_multi import train_all_postures
         from eegsynth.train.sharding import mesh_from_flags
