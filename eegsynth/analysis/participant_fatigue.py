@@ -170,8 +170,10 @@ def synth_tbr_epochs(npz_path, real_npz=None, inverse_scale: bool = False):
             mn = r["scale_min"].astype(np.float64)
             rg = r["scale_range"].astype(np.float64)
             X = X * rg[None, None, :] + mn[None, None, :]
-            Xr = r["X"].astype(np.float64) * rg[None, None, :] + mn[None, None, :]
-            X = np.clip(X, Xr.min(axis=(0, 1)), Xr.max(axis=(0, 1)))
+            # clamp bounds ARE the scaler fields (real data spans exactly
+            # [mn, mn+rg] by min-max construction; mental_fatigue_t_test_v2.py
+            # :240-241) — no need to materialize/inverse-scale the real array
+            X = np.clip(X, mn, mn + rg)
         if "fs" in r.files:
             fs = float(r["fs"])
     tbr = np.stack([compute_fatigue_tbr(ep, fs) for ep in X], axis=0)  # (N, C)

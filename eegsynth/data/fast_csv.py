@@ -54,12 +54,28 @@ def native_available() -> bool:
     return _load_lib() is not None
 
 
+def _clean_header(fields: list[str]) -> list[str]:
+    """pandas-parity header normalization: strip a UTF-8 BOM off the first
+    name and unquote names that are fully quoted (quote at field start, like
+    the csv standard — pandas keeps ` "x"` with a leading space verbatim).
+    Commas INSIDE quoted names are not supported — they would shift the
+    native parser's comma-indexed columns; Emotiv exports never quote commas."""
+    out = []
+    for i, name in enumerate(fields):
+        if i == 0:
+            name = name.lstrip("\ufeff")
+        if len(name) >= 2 and name[0] == '"' and name[-1] == '"':
+            name = name[1:-1]
+        out.append(name)
+    return out
+
+
 def read_header(path) -> list[str]:
     """Column names via the native scanner (fallback: first line split)."""
     lib = _load_lib()
     if lib is None:
         with open(path, "r", encoding="utf-8", errors="replace") as f:
-            return f.readline().rstrip("\r\n").split(",")
+            return _clean_header(f.readline().rstrip("\r\n").split(","))
     h = lib.csv_open(str(path).encode())
     if not h:
         raise OSError(f"csv_open failed: {path}")
@@ -67,7 +83,7 @@ def read_header(path) -> list[str]:
         n = lib.csv_header(h, None, 0)
         buf = ctypes.create_string_buffer(int(n) + 1)
         lib.csv_header(h, buf, n + 1)
-        return buf.value.decode("utf-8", errors="replace").split(",")
+        return _clean_header(buf.value.decode("utf-8", errors="replace").split(","))
     finally:
         lib.csv_close(h)
 
@@ -91,7 +107,7 @@ def read_columns(path, column_names: list[str]) -> np.ndarray:
         n_hdr = lib.csv_header(h, None, 0)
         buf = ctypes.create_string_buffer(int(n_hdr) + 1)
         lib.csv_header(h, buf, n_hdr + 1)
-        header = buf.value.decode("utf-8", errors="replace").split(",")
+        header = _clean_header(buf.value.decode("utf-8", errors="replace").split(","))
         idx_map = {name: i for i, name in enumerate(header)}
         try:
             sel = np.array([idx_map[c] for c in column_names], dtype=np.int32)

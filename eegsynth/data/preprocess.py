@@ -177,6 +177,14 @@ def run_preprocess(root, out, fs: float = 128.0, epoch_sec: float = 6.0,
         key = (meta["posture"], meta["cond"])
         pack = buckets.setdefault(key, {"X": [], "participant": [], "trial": [],
                                         "fs": [], "ch_names": meta["ch_names"]})
+        if meta["ch_names"] != pack["ch_names"]:
+            # min_channels<14 allows files to match DIFFERENT channel subsets;
+            # concatenating those would silently misalign electrode columns
+            # (the reference concatenates anyway and keeps the LAST file's
+            # ch_names, pre-processing.py:192 — a latent bug we surface)
+            log(f"[WARN] {fp.name}: channel set {meta['ch_names']} differs "
+                f"from bucket's {pack['ch_names']}; columns may be misaligned")
+            pack["ch_names"] = meta["ch_names"]  # last-wins, as the reference
         pack["X"].append(epochs)
         pack["participant"].append(np.full((epochs.shape[0],), meta["participant"], np.int32))
         pack["trial"].append(np.full((epochs.shape[0],), meta["trial"], np.int32))

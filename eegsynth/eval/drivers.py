@@ -153,7 +153,8 @@ def run_timegan_eval(real_dir, synth_dir, out, fs: float = 128.0,
     if not pairs:
         raise SystemExit("No matching real/synthetic pairs found.")
 
-    rows, all_real, all_fake, all_labels, all_domain = [], [], [], [], []
+    rows, all_real, all_fake = [], [], []
+    real_labels, fake_labels = [], []
     for keyid in sorted(pairs.keys()):
         real, fake = pairs[keyid]
         row = evaluate_pair(real, fake, fs=fs)
@@ -166,8 +167,8 @@ def run_timegan_eval(real_dir, synth_dir, out, fs: float = 128.0,
         rows.append(row)
         all_real.append(real)
         all_fake.append(fake)
-        all_labels += [posture] * len(real) + [posture] * len(fake)
-        all_domain += [1] * len(real) + [0] * len(fake)
+        real_labels += [posture] * len(real)
+        fake_labels += [posture] * len(fake)
         print(f"[eval] {keyid}: disc_acc={row['disc_acc']:.4f} "
               f"psd={row['psd_diff']:.2e} acf={row['acf_diff']:.4f} "
               f"coh={row['coh_diff']:.4f}", flush=True)
@@ -178,6 +179,13 @@ def run_timegan_eval(real_dir, synth_dir, out, fs: float = 128.0,
     F = np.concatenate(all_fake)
     g = evaluate_pair(R, F, fs=fs)
     write_csv(out / "metrics_global.csv", [g], [])
-    pca_tsne_plots(out, R, F, np.array(all_labels), np.array(all_domain), tsne_max)
+    # labels/domain ordered all-real-then-all-fake to match [R; F] row order.
+    # (The reference builds these interleaved per pair while concatenating
+    # real-then-fake — evaluation.py:209-238 — so its global scatter colors/
+    # markers are misaligned after the first pair; fixed here, like the v3
+    # per-posture split fix.)
+    labels = np.array(real_labels + fake_labels)
+    domain = np.array([1] * len(R) + [0] * len(F))
+    pca_tsne_plots(out, R, F, labels, domain, tsne_max)
     print(f"Wrote {out / per_csv} and {out / 'metrics_global.csv'}", flush=True)
     return {"rows": rows, "global": g}

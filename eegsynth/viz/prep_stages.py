@@ -47,9 +47,19 @@ def parse_labels_from_filename(path) -> dict:
             else ("no exo" if "no exo" in name or "noexo" in name else "?"))
     m = re.search(r"trial[-_\s]*([0-9]+)", name)
     trial = f"Trial {m.group(1)}" if m else "Trial ?"
-    state = "fatigue" if "fatigue" in name else "?"
-    parts = name.split("-")
-    task = parts[4] if len(parts) > 4 else "?"
+    state = ("fatigue" if "fatigue" in name
+             else ("stress" if "stress" in name
+                   else ("cognitive load" if "cognitive load" in name
+                         or "cognitiveload" in name else "?")))
+    # task: keyword scan over dash-separated chunks (preprocessing_plots.py
+    # :131-141) — a blind positional token would grab the trial number
+    task = "?"
+    for b in Path(path).stem.replace("_", " ").split("-"):
+        if any(k in b.lower() for k in ("lifting", "overhead", "squat",
+                                        "kneel", "reach", "twist", "walk",
+                                        "standing")):
+            task = b.strip()
+            break
     return {"posture": posture, "condition": cond, "trial": trial,
             "state": state, "task": task}
 

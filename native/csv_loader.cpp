@@ -137,6 +137,10 @@ int64_t csv_read_columns(void* handle, const int32_t* sel, int32_t n_sel,
           while (b < q && (*b == ' ' || *b == '\t')) ++b;
           const char* e = q;
           while (e > b && (e[-1] == ' ' || e[-1] == '\t')) --e;
+          // pandas parses quoted numeric fields ("1.5") and '+'-signed
+          // numbers (+1.5); from_chars accepts neither — normalize first
+          if (e - b >= 2 && *b == '"' && e[-1] == '"') { ++b; --e; }
+          if (b < e && *b == '+') ++b;
           if (e > b) {
             double v;
             auto res = std::from_chars(b, e, v);

@@ -65,3 +65,21 @@ def test_missing_column_raises(tmp_path):
     (tmp_path / "t.csv").write_text("a,b\n1,2\n")
     with pytest.raises(KeyError):
         read_columns(tmp_path / "t.csv", ["nope"])
+
+
+def test_bom_quotes_and_plus_signs(tmp_path):
+    # pandas-parity for messy exports: UTF-8 BOM, quoted header names,
+    # quoted numeric fields, '+'-signed numbers
+    import pandas as pd
+    fp = tmp_path / "messy.csv"
+    fp.write_bytes("﻿\"Timestamp\",EEG.AF3,\"EEG.F7\"\n"
+                   "1.0,+1.5,\"2.5\"\n"
+                   "2.0,-3.5,oops\n".encode("utf-8"))
+    hdr = read_header(fp)
+    assert hdr == ["Timestamp", "EEG.AF3", "EEG.F7"]
+    got = read_columns(fp, ["Timestamp", "EEG.AF3", "EEG.F7"])
+    assert pd.read_csv(fp).columns.tolist() == hdr   # pandas agrees on names
+    assert got.shape == (2, 3)
+    np.testing.assert_array_equal(got[:, 0], [1.0, 2.0])
+    np.testing.assert_array_equal(got[:, 1], [1.5, -3.5])
+    assert got[0, 2] == 2.5 and np.isnan(got[1, 2])
