@@ -217,59 +217,70 @@ def _make_epoch_core(cfg: CGANConfig, hp: CGANHParams, optG, optD,
         d_loss_out = jnp.float32(0.0)
 
         if not prewarm:
-            real, labels = _sample_balanced(ks[0], X, None, table, counts, B, hp.variant)
-            real = constrain_batch(real, mesh)
-            z = constrain_batch(jax.random.normal(ks[1], (B, hp.noise_dim),
-                                                  jnp.float32), mesh)
-            fake, bn = generator_apply(G, bn, z, labels, cfg, train=True)
-            fake = jax.lax.stop_gradient(fake)
+            def d_update(G, bn, D, d_state, kd):
+                real, labels = _sample_balanced(kd[0], X, None, table, counts, B, hp.variant)
+                real = constrain_batch(real, mesh)
+                z = constrain_batch(jax.random.normal(kd[1], (B, hp.noise_dim),
+                                                      jnp.float32), mesh)
+                fake, bn = generator_apply(G, bn, z, labels, cfg, train=True)
+                fake = jax.lax.stop_gradient(fake)
 
-            real_in = jnp.clip(real + sigma * jax.random.normal(ks[2], real.shape, real.dtype), 0, 1)
-            fake_in = jnp.clip(fake + sigma * jax.random.normal(ks[3], fake.shape, fake.dtype), 0, 1)
-            if hp.use_diffaugment:
-                real_in = diffaugment_1d(ks[4], real_in, hp.diffaugment_p)
-                fake_in = diffaugment_1d(ks[5], fake_in, hp.diffaugment_p)
-            real_loc = _crop(ks[6], real_in, hp.local_crop, hp.variant)
-            fake_loc = _crop(ks[7], fake_in, hp.local_crop, hp.variant)
-            do_r1 = (step_idx % max(1, hp.r1_every)) == 0
+                real_in = jnp.clip(real + sigma * jax.random.normal(kd[2], real.shape, real.dtype), 0, 1)
+                fake_in = jnp.clip(fake + sigma * jax.random.normal(kd[3], fake.shape, fake.dtype), 0, 1)
+                if hp.use_diffaugment:
+                    real_in = diffaugment_1d(kd[4], real_in, hp.diffaugment_p)
+                    fake_in = diffaugment_1d(kd[5], fake_in, hp.diffaugment_p)
+                real_loc = _crop(kd[6], real_in, hp.local_crop, hp.variant)
+                fake_loc = _crop(kd[7], fake_in, hp.local_crop, hp.variant)
+                do_r1 = (step_idx % max(1, hp.r1_every)) == 0
 
-            def d_loss_fn(D):
-                rs_g, rlog_g, _, Dg1 = disc_apply(D["dg"], real_in, labels, cfg,
-                                                  train=True, dropout_key=ks[8])
-                fs_g, flog_g, _, Dg2 = disc_apply(Dg1, fake_in, labels, cfg,
-                                                  train=True, dropout_key=ks[9])
-                rs_l, rlog_l, _, Dl1 = disc_apply(D["dl"], real_loc, labels, cfg,
-                                                  train=True, dropout_key=ks[10])
-                fs_l, flog_l, _, Dl2 = disc_apply(Dl1, fake_loc, labels, cfg,
-                                                  train=True, dropout_key=ks[11])
-                loss = (d_hinge(rs_g, fs_g) + d_hinge(rs_l, fs_l)
-                        + hp.acgan_weight * (cross_entropy(rlog_g, labels)
-                                             + cross_entropy(rlog_l, labels)))
-                if hp.r1_gamma > 0:
-                    r1 = jax.lax.cond(
-                        do_r1,
-                        lambda: r1_penalty(D["dg"], real_in, labels)
-                        + r1_penalty(D["dl"], real_loc, labels),
-                        lambda: jnp.float32(0.0))
-                    loss = loss + hp.r1_gamma * r1
-                diag = jnp.stack([
-                    jnp.mean((rs_g > 0).astype(jnp.float32)),
-                    jnp.mean((fs_g < 0).astype(jnp.float32)),
-                    jnp.mean((rs_l > 0).astype(jnp.float32)),
-                    jnp.mean((fs_l < 0).astype(jnp.float32)),
-                    jnp.mean((jnp.argmax(rlog_g, 1) == labels).astype(jnp.float32)),
-                    jnp.mean((jnp.argmax(flog_g, 1) == labels).astype(jnp.float32)),
-                    jnp.mean((jnp.argmax(rlog_l, 1) == labels).astype(jnp.float32)),
-                    jnp.mean((jnp.argmax(flog_l, 1) == labels).astype(jnp.float32)),
-                ])
-                u_new = {"dg": Dg2, "dl": Dl2}
-                return loss, (diag, u_new)
+                def d_loss_fn(D):
+                    rs_g, rlog_g, _, Dg1 = disc_apply(D["dg"], real_in, labels, cfg,
+                                                      train=True, dropout_key=kd[8])
+                    fs_g, flog_g, _, Dg2 = disc_apply(Dg1, fake_in, labels, cfg,
+                                                      train=True, dropout_key=kd[9])
+                    rs_l, rlog_l, _, Dl1 = disc_apply(D["dl"], real_loc, labels, cfg,
+                                                      train=True, dropout_key=kd[10])
+                    fs_l, flog_l, _, Dl2 = disc_apply(Dl1, fake_loc, labels, cfg,
+                                                      train=True, dropout_key=kd[11])
+                    loss = (d_hinge(rs_g, fs_g) + d_hinge(rs_l, fs_l)
+                            + hp.acgan_weight * (cross_entropy(rlog_g, labels)
+                                                 + cross_entropy(rlog_l, labels)))
+                    if hp.r1_gamma > 0:
+                        r1 = jax.lax.cond(
+                            do_r1,
+                            lambda: r1_penalty(D["dg"], real_in, labels)
+                            + r1_penalty(D["dl"], real_loc, labels),
+                            lambda: jnp.float32(0.0))
+                        loss = loss + hp.r1_gamma * r1
+                    diag = jnp.stack([
+                        jnp.mean((rs_g > 0).astype(jnp.float32)),
+                        jnp.mean((fs_g < 0).astype(jnp.float32)),
+                        jnp.mean((rs_l > 0).astype(jnp.float32)),
+                        jnp.mean((fs_l < 0).astype(jnp.float32)),
+                        jnp.mean((jnp.argmax(rlog_g, 1) == labels).astype(jnp.float32)),
+                        jnp.mean((jnp.argmax(flog_g, 1) == labels).astype(jnp.float32)),
+                        jnp.mean((jnp.argmax(rlog_l, 1) == labels).astype(jnp.float32)),
+                        jnp.mean((jnp.argmax(flog_l, 1) == labels).astype(jnp.float32)),
+                    ])
+                    u_new = {"dg": Dg2, "dl": Dl2}
+                    return loss, (diag, u_new)
 
-            (d_loss_out, (diag, u_new)), d_grads = jax.value_and_grad(
-                d_loss_fn, has_aux=True)(D)
-            d_updates, d_state = optD.update(d_grads, d_state, D)
-            D = optax.apply_updates(D, d_updates)
-            D = _copy_u(D, u_new)  # advanced power-iteration vectors
+                (d_loss, (diag, u_new)), d_grads = jax.value_and_grad(
+                    d_loss_fn, has_aux=True)(D)
+                d_updates, d_state = optD.update(d_grads, d_state, D)
+                D = optax.apply_updates(D, d_updates)
+                D = _copy_u(D, u_new)  # advanced power-iteration vectors
+                return bn, D, d_state, d_loss, diag
+
+            # Reference runs d_steps D updates per G update (cgan.py:396);
+            # iteration 0 consumes ks[0..11] so d_steps=1 keeps the original
+            # key stream, extras draw fresh keys.
+            bn, D, d_state, d_loss_out, diag = d_update(G, bn, D, d_state, ks[0:12])
+            for _ in range(1, max(1, hp.d_steps)):
+                key, sub = jax.random.split(key)
+                bn, D, d_state, d_loss_out, diag = d_update(
+                    G, bn, D, d_state, list(jax.random.split(sub, 12)))
 
         # ---------------- G step (fp32, cgan.py:445-474) ----------------
         real_g, labels_g = _sample_balanced(ks[12], X, None, table, counts, B, hp.variant)
@@ -415,7 +426,11 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
         G, bn, D, ema = trees["G"], trees["bn"], trees["D"], trees["ema"]
         g_state, d_state = trees["optG"], trees["optD"]
         start_epoch = int(meta.get("epoch", 0))
-        best_g = float(meta.get("g_loss", best_g))
+        # "best_g" is the historical best (reference restores `best`,
+        # cgan.py:372-378); legacy checkpoints only stored the last-epoch
+        # g_loss — fall back to that rather than letting flush_best overwrite
+        # the best generator with a worse one.
+        best_g = float(meta.get("best_g", meta.get("g_loss", best_g)))
         log(f"[{tag}] Resumed from {resume} @ epoch {start_epoch}")
 
     table_np, counts_np = build_label_table(y_np, cfg.num_classes, label_base)
@@ -504,7 +519,8 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
                 ckpt_io.save_checkpoint(
                     save_dir / f"checkpoint_epoch{ep}.npz",
                     {"G": G, "bn": bn, "D": D, "ema": ema, "optG": g_state, "optD": d_state},
-                    {"epoch": ep, "g_loss": g_loss, "d_loss": d_loss, "tag": tag})
+                    {"epoch": ep, "g_loss": g_loss, "d_loss": d_loss,
+                     "best_g": best_g, "tag": tag})
             save_generator(save_dir / f"CGAN_generator_{tag}_epoch{ep}.npz", G, bn)
             flush_best()
 

@@ -146,15 +146,20 @@ def train_all_postures(data_dir, runs_root, postures=None, log=print,
         (X, table, counts, G, bn, D, ema, g_state, d_state, best) = jax.device_put(
             (X, table, counts, G, bn, D, ema, g_state, d_state, best), shard)
 
+    # Multihost: processes share the FS — only the coordinator writes
+    # artifacts (same invariant as the sequential trainers).
+    from eegsynth.train.sharding import is_coordinator
+    write_artifacts = is_coordinator()
     dirs = []
     for p in postures:
         d = runs_root / f"posture{p}"
-        d.mkdir(parents=True, exist_ok=True)
-        with open(d / "hparams.json", "w") as f:
-            json.dump({**dataclasses.asdict(hp), "tag": f"posture{p}",
-                       "parallel_postures": True}, f, indent=2)
-        if not (d / "metrics.csv").exists():
-            (d / "metrics.csv").write_text(METRICS_HEADER_V2)
+        if write_artifacts:
+            d.mkdir(parents=True, exist_ok=True)
+            with open(d / "hparams.json", "w") as f:
+                json.dump({**dataclasses.asdict(hp), "tag": f"posture{p}",
+                           "parallel_postures": True}, f, indent=2)
+            if not (d / "metrics.csv").exists():
+                (d / "metrics.csv").write_text(METRICS_HEADER_V2)
         dirs.append(d)
 
     chunk_fns = {
@@ -171,6 +176,8 @@ def train_all_postures(data_dir, runs_root, postures=None, log=print,
         return jax.tree_util.tree_map(lambda a: a[i], tree)
 
     def flush_best():
+        if not write_artifacts:
+            return
         host = jax.device_get(best)                # one batched pull
         for i, (p, d) in enumerate(zip(postures, dirs)):
             if not np.isfinite(host["loss"][i]):
@@ -204,15 +211,16 @@ def train_all_postures(data_dir, runs_root, postures=None, log=print,
             for j, d in enumerate(dirs):
                 diag = logs[i, j, :, :8].mean(axis=0)
                 gl, dl_ = float(logs[i, j, -1, 8]), float(logs[i, j, -1, 9])
-                with open(d / "metrics.csv", "a") as f:
-                    f.write(f"{e+1},{gl},{dl_},"
-                            + ",".join(f"{v}" for v in diag) + "\n")
+                if write_artifacts:
+                    with open(d / "metrics.csv", "a") as f:
+                        f.write(f"{e+1},{gl},{dl_},"
+                                + ",".join(f"{v}" for v in diag) + "\n")
             if (e + 1) % hp.print_every == 0 or e == 0:
                 gl = logs[i, :P, -1, 8]
                 log(f"[multi] Ep {e+1}/{total_epochs} | G per posture "
                     + " ".join(f"{v:.2f}" for v in gl))
         ep += k
-        if ep % hp.save_every == 0:
+        if ep % hp.save_every == 0 and write_artifacts:
             hostG = jax.device_get({"G": G, "bn": bn})
             for i, (p, d) in enumerate(zip(postures, dirs)):
                 save_generator(d / f"CGAN_generator_posture{p}_epoch{ep}.npz",
@@ -221,11 +229,12 @@ def train_all_postures(data_dir, runs_root, postures=None, log=print,
             flush_best()
 
     flush_best()
-    hostG = jax.device_get({"G": ema if hp.ema else G, "bn": bn})
-    for i, (p, d) in enumerate(zip(postures, dirs)):
-        save_generator(d / f"CGAN_generator_posture{p}_last.npz",
-                       slice_p(hostG["G"], i), slice_p(hostG["bn"], i),
-                       f"posture{p}")
+    if write_artifacts:
+        hostG = jax.device_get({"G": ema if hp.ema else G, "bn": bn})
+        for i, (p, d) in enumerate(zip(postures, dirs)):
+            save_generator(d / f"CGAN_generator_posture{p}_last.npz",
+                           slice_p(hostG["G"], i), slice_p(hostG["bn"], i),
+                           f"posture{p}")
     dt = time.perf_counter() - t0
     agg = total_epochs * steps * P / dt if dt > 0 else float("nan")
     best_host = np.asarray(jax.device_get(best["loss"]))[:P]   # drop mesh pads

@@ -498,7 +498,9 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
                           f"acc≈{row[1]:.2f}  G:total={row[2]:.4f} (adv={row[3]:.4f}, "
                           f"sup={row[4]:.4f}, rec={row[5]:.4f}, cov={row[6]:.4f}, "
                           f"acf={row[7]:.4f})", flush=True)
-        if done % 500 == 0 or done == hp.gan_steps:
+        # every-500-step cadence (train_timegan.py:407): fire whenever a
+        # 500 boundary was crossed, so a non-multiple --chunk still saves
+        if done // 500 > (done - n_steps) // 500 or done == hp.gan_steps:
             save(out_dir / "ckpt_latest.npz", params, d_state, g_state, done)
         # ckpt_best.pt semantics (train_timegan.py:410-413) without redundant
         # device→host pulls: only rewrite when the on-device best advanced

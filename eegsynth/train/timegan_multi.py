@@ -95,8 +95,16 @@ def _make_pre_phase(hp, opt, which: str):
                    static_argnums=(5,))
 
 
+def _advance_keys(keys, tag: int):
+    """Per-bucket key stream for the next phase. fold_in with a distinct tag —
+    NOT ``split(keys)[0]``, which equals the carried key after one phase step
+    and so replays the previous phase's batch-index randomness (the supervisor
+    phase would sample the AE phase's exact index sequence)."""
+    return jax.vmap(lambda k: jax.random.fold_in(k, tag))(keys)
+
+
 def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
-                      **hparams) -> dict:
+                      profile_dir=None, **hparams) -> dict:
     """Vmapped multi-bucket training; writes the same per-bucket artifact set
     (train_log.csv, ckpt_latest/ckpt_best, synthetic.npz) as the sequential
     driver. Returns aggregate throughput stats.
@@ -128,7 +136,7 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.key(hp.seed), i))(
         jnp.arange(nb))
     params = jax.vmap(timegan_init, in_axes=(0, None))(keys, cfg)
-    keys = jax.vmap(jax.random.split, out_axes=1)(keys)[0]
+    keys = _advance_keys(keys, 1)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -148,7 +156,7 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     ae_phase = _make_pre_phase(hp, optER, "ae")
     params, _, ae_losses = ae_phase(params, state, keys, X, n_valid,
                                     hp.ae_epochs * steps_per_epoch)
-    keys = jax.vmap(jax.random.split, out_axes=1)(keys)[0]
+    keys = _advance_keys(keys, 2)
     print(f"[AE] {hp.ae_epochs * steps_per_epoch} steps × {nb} buckets  "
           f"final recon≈{float(jnp.mean(ae_losses[:, -1])):.5f}", flush=True)
 
@@ -157,7 +165,7 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     sup_phase = _make_pre_phase(hp, optS, "sup")
     params, _, sup_losses = sup_phase(params, state, keys, X, n_valid,
                                       hp.sup_epochs * steps_per_epoch)
-    keys = jax.vmap(jax.random.split, out_axes=1)(keys)[0]
+    keys = _advance_keys(keys, 3)
     print(f"[SUP] {hp.sup_epochs * steps_per_epoch} steps × {nb} buckets  "
           f"final sup≈{float(jnp.mean(sup_losses[:, -1])):.5f}", flush=True)
 
@@ -178,11 +186,15 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     best_step = jnp.zeros((nb,), jnp.int32)
     all_logs = []
 
+    prof = None
+    if profile_dir is not None:
+        prof = jax.profiler.trace(str(profile_dir))
+        prof.__enter__()
     t0 = time.perf_counter()
     done = 0
     while done < hp.gan_steps:
         n_steps = min(hp.chunk, hp.gan_steps - done)
-        keys = jax.vmap(jax.random.split, out_axes=1)(keys)[0]
+        keys = _advance_keys(keys, 4)  # chained: input differs each chunk
         (params, d_state, g_state, best_params, best_loss, best_step, _), logs = \
             gan_chunk(params, d_state, g_state, best_params, best_loss, best_step,
                       keys, jnp.int32(done),
@@ -195,15 +207,21 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
               f"D={row[:, 0].mean():.4f} acc≈{row[:, 1].mean():.2f} "
               f"G={row[:, 2].mean():.4f}", flush=True)
     gan_seconds = time.perf_counter() - t0
+    if prof is not None:
+        prof.__exit__(None, None, None)
     agg_steps_per_sec = n_real_buckets * hp.gan_steps / gan_seconds
     total_seconds = time.perf_counter() - t_all
     print(f"[GAN] {nb}×{hp.gan_steps} steps in {gan_seconds:.1f}s → "
           f"{agg_steps_per_sec:.1f} aggregate steps/s", flush=True)
 
-    # Per-bucket artifacts
+    # Per-bucket artifacts (coordinator only: multihost runs share the FS,
+    # and N processes appending/rewriting the same files corrupts them —
+    # same gating as the sequential trainers)
+    from eegsynth.train.sharding import is_coordinator
     logs_cat = np.concatenate(all_logs, axis=1)    # (nb, gan_steps, 8)
-    meta_base = {"z_dim": z_dim, "h_dim": h_dim}
-    for b, name in enumerate(names):
+    meta_base = {"z_dim": z_dim, "h_dim": h_dim,
+                 "x_dim": C, "layers": hp.layers}
+    for b, name in enumerate(names if is_coordinator() else []):
         out_dir = out_root / name
         out_dir.mkdir(parents=True, exist_ok=True)
         with open(out_dir / "train_log.csv", "w") as f:

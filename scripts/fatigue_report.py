@@ -297,8 +297,11 @@ def main():
     args = ap.parse_args()
 
     # Analysis is a float64 host batch job (scipy-parity p-values); f64 is
-    # emulated and slow on TPU, so pin the CPU backend.
+    # emulated and slow on TPU. Pin jax_platforms BEFORE backend init:
+    # jax.devices("cpu") alone still initializes every registered platform,
+    # which would attach the remote TPU tunnel (single-tenant) for no reason.
     import jax
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     with jax.default_device(jax.devices("cpu")[0]):
         args.fn(args)

@@ -63,18 +63,36 @@ def main():
             print(f"[SKIP] {rd.name}: no checkpoint found.")
             continue
 
-        real_npz = real_root / f"posture{posture}_{cond}.npz"
-        if not real_npz.exists():
-            print(f"[SKIP] {rd.name}: real file missing: {real_npz}")
-            continue
-        real = np.load(real_npz)
-        N_real, T_train, C = real["X"].shape
-        fs = float(real["fs"]) if "fs" in real.files else 128.0
-
-        # Rebuild from meta (generate_long_synth.py:96-101)
+        # Rebuild from meta (generate_long_synth.py:96-101). Checkpoint meta
+        # carries x_dim/layers precisely so a converted/copied checkpoint can
+        # generate without the real NPZ on hand (train/timegan.py meta note);
+        # the real file only refines fs and supplies N default + denorm scalers.
         import json
         raw = np.load(ckpt)
         meta = json.loads(bytes(raw["__meta__"]).decode("utf-8"))
+
+        real = None
+        N_real, T_train, C = None, None, int(meta.get("x_dim", 14))
+        fs = 128.0
+        real_npz = real_root / f"posture{posture}_{cond}.npz"
+        if real_npz.exists():
+            real = np.load(real_npz)
+            N_real, T_train, C = real["X"].shape
+            fs = float(real["fs"]) if "fs" in real.files else fs
+        else:
+            missing = [w for w, v in (("--n", args.n),
+                                      ("--gen_seconds/--gen_len",
+                                       args.gen_seconds or args.gen_len))
+                       if v is None]
+            if missing:
+                print(f"[SKIP] {rd.name}: real file missing ({real_npz}) and "
+                      f"{' and '.join(missing)} not given — cannot infer "
+                      "N/T from the data.")
+                continue
+            if args.denorm:
+                print(f"[WARN] {rd.name}: --denorm ignored, scalers live in "
+                      f"the missing real file {real_npz}")
+
         cfg = TimeGANConfig(x_dim=C, z_dim=int(meta["z_dim"]), h_dim=int(meta["h_dim"]),
                             num_layers=int(meta.get("layers", 1)))
         template = timegan_init(jax.random.key(0), cfg)
@@ -97,7 +115,8 @@ def main():
                                    batch=args.batch, time_chunk=args.time_chunk),
                         dtype=np.float32)
 
-        if args.denorm and "scale_min" in real.files and "scale_range" in real.files:
+        if (args.denorm and real is not None
+                and "scale_min" in real.files and "scale_range" in real.files):
             mn = real["scale_min"].astype(np.float32)
             rg = real["scale_range"].astype(np.float32)
             Xh = Xh * rg[None, None, :] + mn[None, None, :]

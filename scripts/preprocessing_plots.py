@@ -28,6 +28,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # CPU-only f64 job: pin platforms before backend init so the remote TPU
+    # tunnel (single-tenant) is never attached.
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     cpu = jax.devices("cpu")[0]
 

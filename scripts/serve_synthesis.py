@@ -221,9 +221,17 @@ def make_handler(reg: ModelRegistry, serve_batch: int, time_chunk: int):
                                               "models": sorted(reg.cgan)})
             n = int(req.get("n", 16))
             label = int(req.get("label", 0))
-            ncls = reg.cgan[tag]["cfg"].num_classes
-            if not (1 <= n <= 65536 and 0 <= label < ncls):
+            cfg = reg.cgan[tag]["cfg"]
+            if not (1 <= n <= 65536 and 0 <= label < cfg.num_classes):
                 return None, self._json(400, {"error": "n or label out of range"})
+            # cap on what is actually allocated: n padded to serve_batch
+            # multiples, full seq_len windows
+            nb = -(-n // serve_batch) * serve_batch
+            if nb * cfg.seq_len > MAX_SAMPLES_PER_REQUEST:
+                return None, self._json(400, {
+                    "error": f"padded n*seq_len = {nb * cfg.seq_len} > "
+                             f"{MAX_SAMPLES_PER_REQUEST} (split into multiple "
+                             "requests)"})
             return reg.synthesize_cgan(tag, label, n, int(req.get("seed", 0)),
                                        bool(req.get("inverse_scale", False)),
                                        serve_batch), None
@@ -247,9 +255,15 @@ def make_handler(reg: ModelRegistry, serve_batch: int, time_chunk: int):
                     seq_len = int(req.get("seq_len", 768))
                     if not (1 <= n <= 65536 and 1 <= seq_len <= 1 << 20):
                         return self._json(400, {"error": "n or seq_len out of range"})
-                    if n * seq_len > MAX_SAMPLES_PER_REQUEST:
+                    # cap on what synthesize actually allocates: both axes
+                    # padded up to the fixed compiled (serve_batch, time_chunk)
+                    # multiples — the raw n*seq_len can be up to 12× smaller
+                    nb = -(-n // serve_batch) * serve_batch
+                    tb = -(-seq_len // time_chunk) * time_chunk
+                    if nb * tb > MAX_SAMPLES_PER_REQUEST:
                         return self._json(400, {
-                            "error": f"n*seq_len > {MAX_SAMPLES_PER_REQUEST} "
+                            "error": f"padded n*seq_len = {nb * tb} > "
+                                     f"{MAX_SAMPLES_PER_REQUEST} "
                                      "(split into multiple requests)"})
                     X = reg.synthesize(run, n, seq_len, int(req.get("seed", 0)),
                                        bool(req.get("denorm", False)),

@@ -92,8 +92,13 @@ def main():
         print(f"Data-parallel mesh: {dict(mesh.shape)}")
 
     if args.parallel_buckets:
+        if args.resume:
+            raise SystemExit("--resume is not supported with --parallel_buckets "
+                             "(the vmapped trainer has no mid-run checkpoints); "
+                             "drop one flag or finish the run sequentially.")
         from eegsynth.train.timegan_multi import train_all_buckets
-        res = train_all_buckets(data_dir, out_root, **hp)
+        res = train_all_buckets(data_dir, out_root, mesh=mesh,
+                                profile_dir=args.profile_dir, **hp)
         print(f"\nAggregate: {res['aggregate_steps_per_sec']:.1f} GAN steps/s "
               f"across {res['n_buckets']} buckets "
               f"({res['total_seconds']:.1f}s total)")

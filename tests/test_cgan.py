@@ -203,3 +203,44 @@ def test_cgan_resume_continues_epochs(tmp_path):
     assert [r.split(",")[0] for r in rows2[3:]] == ["3", "4"]
     assert np.isfinite(res["best_g"])
     assert (run_dir / "checkpoint_epoch4.npz").exists()
+
+
+def test_cgan_d_steps_multiple():
+    """hp.d_steps runs that many D updates per G update (cgan.py:396): the
+    extra D pass must change the discriminator relative to d_steps=1 while
+    leaving the step finite; d_steps=1 keeps the original key stream."""
+    import optax
+    from eegsynth.data.datasets import build_label_table
+    from eegsynth.train.cgan import (
+        CGANHParams, build_cfg, disc_init, generator_init, make_cgan_epoch,
+    )
+
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.uniform(0, 1, (18, 14, 768)).astype(np.float32))
+    y = np.repeat(np.arange(1, 10), 2)
+    tab_np, cnt_np = build_label_table(y, 9, 1)
+    tab, cnt = jnp.asarray(tab_np), jnp.asarray(cnt_np, jnp.float32)
+
+    def run(d_steps):
+        hp = CGANHParams(batch_size=8, arch="transformer", variant="v1",
+                         tf_dim=32, tf_depth=1, tf_heads=2, tf_patch=8,
+                         use_diffaugment=False, d_steps=d_steps)
+        cfg = build_cfg(hp, 9)
+        key = jax.random.key(0)
+        G, bn = generator_init(key, cfg)
+        D = {"dg": disc_init(jax.random.fold_in(key, 1), cfg),
+             "dl": disc_init(jax.random.fold_in(key, 2), cfg)}
+        optG, optD = optax.adam(1e-4), optax.adam(1e-4)
+        ema = jax.tree_util.tree_map(lambda a: a, G)
+        epoch = make_cgan_epoch(cfg, hp, optG, optD, 1, prewarm=False)
+        G, bn, D, ema, _, _, logs = epoch(G, bn, D, ema, optG.init(G),
+                                          optD.init(D), X, tab, cnt,
+                                          jnp.float32(0.05), jax.random.key(7))
+        return np.asarray(logs), jax.tree_util.tree_map(np.asarray, D)
+
+    logs1, D1 = run(1)
+    logs2, D2 = run(2)
+    assert np.isfinite(logs1).all() and np.isfinite(logs2).all()
+    diffs = [np.abs(a - b).max() for a, b in
+             zip(jax.tree_util.tree_leaves(D1), jax.tree_util.tree_leaves(D2))]
+    assert max(diffs) > 0  # the second D update moved the discriminator

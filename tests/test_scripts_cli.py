@@ -154,3 +154,33 @@ def test_missing_runs_dir_exits(tmp_path, monkeypatch):
         "--real_dir", str(tmp_path)])
     with pytest.raises(SystemExit):
         mod.main()
+
+
+def test_generate_long_synth_without_real_npz(tiny_run, monkeypatch):
+    """Checkpoint meta (x_dim/layers) alone rebuilds the model: a converted or
+    copied checkpoint generates on a machine without the real NPZ, provided
+    --n and a horizon are given (train/timegan.py meta contract)."""
+    _, runs_dir = tiny_run
+    mod = _load_script("generate_long_synth")
+    monkeypatch.setattr(sys, "argv", [
+        "generate_long_synth.py", "--runs_dir", str(runs_dir),
+        "--real_dir", str(runs_dir / "no_such_dir"), "--gen_len", "16",
+        "--n", "3", "--out_suffix", "synthetic_nometa.npz"])
+    mod.main()
+    out = np.load(runs_dir / "posture1_no_exo" / "synthetic_nometa.npz")["X"]
+    assert out.shape == (3, 16, 3)          # x_dim from checkpoint meta
+    assert np.isfinite(out).all()
+
+
+def test_generate_long_synth_without_real_npz_needs_n(tiny_run, monkeypatch,
+                                                      capsys):
+    """Missing real NPZ and no --n → clear SKIP, no crash, no artifact."""
+    _, runs_dir = tiny_run
+    mod = _load_script("generate_long_synth")
+    monkeypatch.setattr(sys, "argv", [
+        "generate_long_synth.py", "--runs_dir", str(runs_dir),
+        "--real_dir", str(runs_dir / "no_such_dir"), "--gen_len", "16",
+        "--out_suffix", "synthetic_skip.npz"])
+    mod.main()
+    assert "[SKIP]" in capsys.readouterr().out
+    assert not (runs_dir / "posture1_no_exo" / "synthetic_skip.npz").exists()

@@ -134,3 +134,20 @@ def test_request_size_cap(served):
                                {"run": "posture1_no_exo", "n": 65536,
                                 "seq_len": 1024})
     assert status == 400 and "n*seq_len" in json.loads(data)["error"]
+
+
+def test_request_size_cap_padded(served):
+    # raw n*seq_len is under the cap, but padding to the compiled
+    # (serve_batch=4, time_chunk=16) multiples pushes the real allocation over
+    status, _, data = _request(served, "POST", "/synthesize",
+                               {"run": "posture1_no_exo", "n": 52429,
+                                "seq_len": 65})
+    assert status == 400 and "padded" in json.loads(data)["error"]
+
+
+def test_cgan_request_size_cap(served):
+    # CGAN windows are always full seq_len=768: n=5462 padded to 5464 batches
+    # exceeds MAX_SAMPLES_PER_REQUEST
+    status, _, data = _request(served, "POST", "/synthesize_cgan",
+                               {"model": "no_exo", "label": 0, "n": 5462})
+    assert status == 400 and "padded" in json.loads(data)["error"]
