@@ -25,7 +25,15 @@ def main():
                    help="unused: noise_dim is read from checkpoint meta")
     ap.add_argument("--tsne-perplexity", type=float, default=30.0)
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--platform", choices=["default", "cpu"], default="default",
+                    help="'cpu' pins the CPU backend (jax_platforms) — the "
+                         "metrics are backend-agnostic and the tiny scorers "
+                         "run fine on host when the TPU is busy or unreachable")
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     from eegsynth.data.datasets import load_condition_dataset

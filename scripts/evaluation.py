@@ -20,7 +20,15 @@ def main():
     ap.add_argument("--synth_dir", type=str, default="./timegan_runs")
     ap.add_argument("--out", type=str, default="./eval_out")
     ap.add_argument("--fs", type=float, default=128.0)
+    ap.add_argument("--platform", choices=["default", "cpu"], default="default",
+                    help="'cpu' pins the CPU backend (jax_platforms) — the "
+                         "metrics are backend-agnostic and the tiny scorers "
+                         "run fine on host when the TPU is busy or unreachable")
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from eegsynth.eval.drivers import run_timegan_eval
     run_timegan_eval(args.real_dir, args.synth_dir, args.out, fs=args.fs,
