@@ -30,6 +30,16 @@ def main():
     for k, typ in HP_FLAGS.items():
         p.add_argument(f"--{k.replace('_', '-')}", dest=k, type=typ, default=None)
     p.add_argument("--posture", type=str, default="all", help="'all' or an int 1..9")
+    # Reference CLI-surface parity (cgan_v2.py flags; store_true default True
+    # there too, so passing them is a no-op in both implementations):
+    p.add_argument("--ema", action="store_true", default=True,
+                   help="EMA generator (always on; disable with --no-ema)")
+    p.add_argument("--use-diffaugment", action="store_true", default=True,
+                   help="DiffAugment-1D (always on; disable with --no-diffaugment)")
+    p.add_argument("--amp-d", action="store_true", default=True,
+                   help="no-op on TPU: the D step runs f32 without a scaler")
+    p.add_argument("--no-ema", action="store_true")
+    p.add_argument("--no-diffaugment", action="store_true")
     p.add_argument("--parallel-postures", "--parallel_postures",
                    dest="parallel_postures", action="store_true",
                    help="vmap all posture models into one training run (TPU extra)")
@@ -41,6 +51,10 @@ def main():
     args = p.parse_args()
 
     hp = {k: getattr(args, k) for k in HP_FLAGS if getattr(args, k) is not None}
+    if args.no_ema:
+        hp["ema"] = False
+    if args.no_diffaugment:
+        hp["use_diffaugment"] = False
 
     postures = range(1, 10) if args.posture == "all" else [int(args.posture)]
     # defensive SKIP for postures without both condition NPZs on disk (the

@@ -184,3 +184,21 @@ def test_generate_long_synth_without_real_npz_needs_n(tiny_run, monkeypatch,
     mod.main()
     assert "[SKIP]" in capsys.readouterr().out
     assert not (runs_dir / "posture1_no_exo" / "synthetic_skip.npz").exists()
+
+
+def test_cgan_cli_reference_flag_surface(monkeypatch):
+    """Every reference cgan.py/cgan_v2.py flag parses (CLI-surface parity):
+    --ema/--use-diffaugment/--amp-d are accepted no-ops (store_true default
+    True in the reference too), --loss validates, --gp-weight is accepted."""
+    mod = _load_script("train_cgan")
+    monkeypatch.setattr(sys, "argv", [
+        "train_cgan.py", "--loss", "hinge", "--gp-weight", "5.0", "--ema",
+        "--use-diffaugment", "--amp-d", "--d-steps", "2", "--no-ema"])
+    a = mod.get_args()
+    assert a.loss == "hinge" and a.gp_weight == 5.0 and a.d_steps == 2
+    assert a.no_ema  # disable path still works alongside the no-op enable
+    # unimplemented losses are rejected with a clear message
+    monkeypatch.setattr(sys, "argv", ["train_cgan.py", "--loss", "wgan-gp"])
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="not implemented"):
+        mod.main()
