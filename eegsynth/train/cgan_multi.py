@@ -130,8 +130,11 @@ def train_all_postures(data_dir, runs_root, postures=None, log=print,
     keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.key(hp.seed), i))(
         jnp.asarray(pad_ids))    # keyed by posture id → subset runs reproduce
     G, bn = jax.vmap(lambda k: generator_init(k, cfg))(keys)
-    D = {"dg": jax.vmap(lambda k: disc_init(jax.random.fold_in(k, 1), cfg))(keys),
-         "dl": jax.vmap(lambda k: disc_init(jax.random.fold_in(k, 2), cfg))(keys)}
+    # D init tags must sit above generator_init's split(key, 8) fan-out:
+    # fold_in(k, i) == split(k, n)[i] for threefry, so fold_in(k, 1)/2 would
+    # be bit-identical to the generator's own up-block init subkeys.
+    D = {"dg": jax.vmap(lambda k: disc_init(jax.random.fold_in(k, 0x5EED0001), cfg))(keys),
+         "dl": jax.vmap(lambda k: disc_init(jax.random.fold_in(k, 0x5EED0002), cfg))(keys)}
     ema = jax.tree_util.tree_map(lambda a: a, G)
     optG = optax.adam(make_lr(hp, steps, hp.lr_g), b1=hp.beta1, b2=hp.beta2)
     optD = optax.adam(make_lr(hp, steps, hp.lr_d), b1=hp.beta1, b2=hp.beta2)
@@ -148,7 +151,7 @@ def train_all_postures(data_dir, runs_root, postures=None, log=print,
 
     # Multihost: processes share the FS — only the coordinator writes
     # artifacts (same invariant as the sequential trainers).
-    from eegsynth.train.sharding import is_coordinator
+    from eegsynth.train.sharding import fetch_global, is_coordinator
     write_artifacts = is_coordinator()
     dirs = []
     for p in postures:
@@ -176,9 +179,11 @@ def train_all_postures(data_dir, runs_root, postures=None, log=print,
         return jax.tree_util.tree_map(lambda a: a[i], tree)
 
     def flush_best():
+        # fetch_global is a COLLECTIVE in multihost (posture shards live on
+        # other processes) — every process joins; only the coordinator writes
+        host = fetch_global(best)                  # one batched pull
         if not write_artifacts:
             return
-        host = jax.device_get(best)                # one batched pull
         for i, (p, d) in enumerate(zip(postures, dirs)):
             if not np.isfinite(host["loss"][i]):
                 continue
@@ -220,24 +225,25 @@ def train_all_postures(data_dir, runs_root, postures=None, log=print,
                 log(f"[multi] Ep {e+1}/{total_epochs} | G per posture "
                     + " ".join(f"{v:.2f}" for v in gl))
         ep += k
-        if ep % hp.save_every == 0 and write_artifacts:
-            hostG = jax.device_get({"G": G, "bn": bn})
-            for i, (p, d) in enumerate(zip(postures, dirs)):
-                save_generator(d / f"CGAN_generator_posture{p}_epoch{ep}.npz",
-                               slice_p(hostG["G"], i), slice_p(hostG["bn"], i),
-                               f"posture{p}")
+        if ep % hp.save_every == 0:
+            hostG = fetch_global({"G": G, "bn": bn})     # collective first
+            if write_artifacts:
+                for i, (p, d) in enumerate(zip(postures, dirs)):
+                    save_generator(d / f"CGAN_generator_posture{p}_epoch{ep}.npz",
+                                   slice_p(hostG["G"], i), slice_p(hostG["bn"], i),
+                                   f"posture{p}")
             flush_best()
 
     flush_best()
+    hostG = fetch_global({"G": ema if hp.ema else G, "bn": bn})
     if write_artifacts:
-        hostG = jax.device_get({"G": ema if hp.ema else G, "bn": bn})
         for i, (p, d) in enumerate(zip(postures, dirs)):
             save_generator(d / f"CGAN_generator_posture{p}_last.npz",
                            slice_p(hostG["G"], i), slice_p(hostG["bn"], i),
                            f"posture{p}")
     dt = time.perf_counter() - t0
     agg = total_epochs * steps * P / dt if dt > 0 else float("nan")
-    best_host = np.asarray(jax.device_get(best["loss"]))[:P]   # drop mesh pads
+    best_host = np.asarray(fetch_global(best["loss"]))[:P]     # drop mesh pads
     log(f"[multi] Done in {dt:.1f}s — {agg:.1f} aggregate steps/s; "
         f"best G per posture: {np.round(best_host, 3).tolist()}")
     return {"best_g": best_host, "aggregate_steps_per_sec": agg,

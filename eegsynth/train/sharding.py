@@ -52,6 +52,21 @@ def is_coordinator() -> bool:
     return jax.process_index() == 0
 
 
+def fetch_global(tree):
+    """Pull a (possibly process-sharded) pytree to host as global numpy values.
+
+    Single-process: plain ``jax.device_get``. Multi-process: shards living on
+    other hosts are non-addressable, so ``device_get`` would raise — instead
+    every process joins a ``process_allgather`` that replicates the global
+    value. COLLECTIVE: when ``jax.process_count() > 1`` this must be called on
+    ALL processes (call it before any ``is_coordinator()`` write gate, never
+    inside one)."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(tree, tiled=True)
+
+
 def mesh_from_flags(use_mesh: bool, multihost: bool = False) -> Mesh | None:
     """CLI hook: ``--multihost`` joins the slice and spans every chip;
     ``--mesh`` spans the local chips; neither → single-device (None)."""

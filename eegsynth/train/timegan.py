@@ -459,13 +459,16 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
             best_params = btrees["model"]
             best_loss = jnp.float32(bmeta.get("best_loss", np.inf))
             best_step = jnp.int32(bmeta.get("step", 0))
-        key = jax.random.fold_in(key, start_step)
+        # high tag: fold_in(k, i) == split(k, n)[i] for threefry, so a bare
+        # start_step < 2 would collide with this function's own split(key)
+        key = jax.random.fold_in(key, 0x5EED0000 + start_step)
         print(f"[resume] {npz_path.name} from step {start_step}", flush=True)
     # x_dim/layers beyond the reference's meta: loaders (serve_synthesis,
     # generate_long_synth) can rebuild non-default geometries without the
     # real NPZ on hand
     meta = {"npz": npz_path.name, "z_dim": z_dim, "h_dim": h_dim,
-            "x_dim": C, "layers": hp.layers}
+            "x_dim": C, "layers": hp.layers,
+            "fs": float(data["fs"]) if "fs" in data.files else 128.0}
 
     def save(path, p, dstate_, gstate_, step, extra_meta=None):
         if not write_artifacts:

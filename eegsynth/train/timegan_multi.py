@@ -39,10 +39,12 @@ from eegsynth.train.timegan import (
 
 
 def _stack_buckets(files):
-    Xs, names = [], []
+    Xs, names, fss = [], [], []
     for fp in files:
-        Xs.append(np.load(fp)["X"].astype(np.float32))
+        data = np.load(fp)
+        Xs.append(data["X"].astype(np.float32))
         names.append(Path(fp).stem)
+        fss.append(float(data["fs"]) if "fs" in data.files else 128.0)
     T, C = Xs[0].shape[1], Xs[0].shape[2]
     assert all(x.shape[1:] == (T, C) for x in Xs), "buckets must share (T, C)"
     n_valid = np.array([len(x) for x in Xs], dtype=np.int32)
@@ -50,7 +52,7 @@ def _stack_buckets(files):
     X = np.zeros((len(Xs), n_max, T, C), dtype=np.float32)
     for i, x in enumerate(Xs):
         X[i, :len(x)] = x
-    return jnp.asarray(X), jnp.asarray(n_valid), names, T, C
+    return jnp.asarray(X), jnp.asarray(n_valid), names, T, C, fss
 
 
 def _make_pre_phase(hp, opt, which: str):
@@ -95,12 +97,20 @@ def _make_pre_phase(hp, opt, which: str):
                    static_argnums=(5,))
 
 
+# For threefry, fold_in(k, i) == split(k, n)[i] for ANY n — so phase tags must
+# sit far above every split fan-out used anywhere in the program (the widest
+# here is split(key, 21) in the CGAN epoch core; inits split ≤8), or the
+# "fresh" phase keys would be bit-identical to subkeys already consumed by
+# init/steps. 0x5EED0000 + tag is safely out of range of any fan-out index.
+_PHASE_TAG_BASE = 0x5EED0000
+
+
 def _advance_keys(keys, tag: int):
-    """Per-bucket key stream for the next phase. fold_in with a distinct tag —
-    NOT ``split(keys)[0]``, which equals the carried key after one phase step
-    and so replays the previous phase's batch-index randomness (the supervisor
-    phase would sample the AE phase's exact index sequence)."""
-    return jax.vmap(lambda k: jax.random.fold_in(k, tag))(keys)
+    """Per-bucket key stream for the next phase. fold_in with a distinct
+    high tag — NOT ``split(keys)[0]`` (equals the carried key after one phase
+    step, replaying the previous phase's batch-index randomness) and NOT a
+    small tag (fold_in(k, i) == split(k, n)[i], colliding with init subkeys)."""
+    return jax.vmap(lambda k: jax.random.fold_in(k, _PHASE_TAG_BASE + tag))(keys)
 
 
 def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
@@ -118,7 +128,7 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     files = bucket_paths(data_dir)
     if not files:
         raise SystemExit(f"No NPZs found in {data_dir}")
-    X, n_valid, names, T, C = _stack_buckets(files)
+    X, n_valid, names, T, C, fss = _stack_buckets(files)
     n_real_buckets = X.shape[0]
     if mesh is not None:
         n_dev = mesh.devices.size
@@ -216,8 +226,16 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
 
     # Per-bucket artifacts (coordinator only: multihost runs share the FS,
     # and N processes appending/rewriting the same files corrupts them —
-    # same gating as the sequential trainers)
-    from eegsynth.train.sharding import is_coordinator
+    # same gating as the sequential trainers). fetch_global first, on ALL
+    # processes: with a mesh the bucket axis is sharded, so indexing device
+    # trees at [b] would touch non-addressable shards in multihost.
+    from eegsynth.train.sharding import fetch_global, is_coordinator
+    host = fetch_global({"model": params, "optG": g_state, "optD": d_state,
+                         "best_loss": best_loss, "best_step": best_step,
+                         "n_valid": n_valid})
+    best_step, best_loss, n_valid = (host["best_step"], host["best_loss"],
+                                     host["n_valid"])
+    best_host = fetch_global(best_params)
     logs_cat = np.concatenate(all_logs, axis=1)    # (nb, gan_steps, 8)
     meta_base = {"z_dim": z_dim, "h_dim": h_dim,
                  "x_dim": C, "layers": hp.layers}
@@ -232,19 +250,21 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
                         for v in logs_cat[b, s]) + "\n")
         take = lambda tree: jax.tree_util.tree_map(lambda a: a[b], tree)
         ckpt_io.save_checkpoint(out_dir / "ckpt_latest.npz",
-                                {"model": take(params), "optG": take(g_state),
-                                 "optD": take(d_state)},
+                                {"model": take(host["model"]),
+                                 "optG": take(host["optG"]),
+                                 "optD": take(host["optD"])},
                                 {**meta_base, "npz": f"{name}.npz",
-                                 "step": hp.gan_steps})
+                                 "fs": fss[b], "step": hp.gan_steps})
         ckpt_io.save_checkpoint(out_dir / "ckpt_best.npz",
-                                {"model": take(best_params), "optG": take(g_state),
-                                 "optD": take(d_state)},
+                                {"model": take(best_host),
+                                 "optG": take(host["optG"]),
+                                 "optD": take(host["optD"])},
                                 {**meta_base, "npz": f"{name}.npz", "best": True,
-                                 "step": int(best_step[b]),
+                                 "fs": fss[b], "step": int(best_step[b]),
                                  "best_loss": float(best_loss[b])})
         n_b = int(n_valid[b])
         key_b = jax.random.fold_in(jax.random.key(hp.seed ^ 0x5eed), b)
-        X_hat = synthesize(take(params), cfg, key_b, n_b, T)
+        X_hat = synthesize(take(host["model"]), cfg, key_b, n_b, T)
         np.savez_compressed(out_dir / "synthetic.npz",
                             X=np.asarray(X_hat, np.float32))
         print(f"[{name}] artifacts written (best@{int(best_step[b])})", flush=True)

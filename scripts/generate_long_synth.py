@@ -73,13 +73,17 @@ def main():
 
         real = None
         N_real, T_train, C = None, None, int(meta.get("x_dim", 14))
-        fs = 128.0
+        fs = float(meta.get("fs", 128.0))
         real_npz = real_root / f"posture{posture}_{cond}.npz"
         if real_npz.exists():
             real = np.load(real_npz)
             N_real, T_train, C = real["X"].shape
             fs = float(real["fs"]) if "fs" in real.files else fs
         else:
+            if args.gen_seconds is not None and "fs" not in meta:
+                print(f"[WARN] {rd.name}: real file missing and checkpoint "
+                      f"meta has no fs — assuming {fs:.0f} Hz for "
+                      "--gen_seconds; pass --gen_len for an exact horizon")
             missing = [w for w, v in (("--n", args.n),
                                       ("--gen_seconds/--gen_len",
                                        args.gen_seconds or args.gen_len))

@@ -137,7 +137,7 @@ class ModelRegistry:
                 continue
             meta = load_meta(ckpt)
             scale_min = scale_range = None
-            x_dim, fs = int(meta.get("x_dim", 14)), 128.0
+            x_dim, fs = int(meta.get("x_dim", 14)), float(meta.get("fs", 128.0))
             if real_dir is not None:
                 real_fp = Path(real_dir) / f"{rd.name}.npz"
                 if real_fp.exists():
