@@ -22,7 +22,7 @@ BANDS = {
 }
 
 REGION_ORDER = {
-    "Frontal": ["AF3", "AF4", "F3", "F4", "F7", "F8", "FC5", "FC6"],
+    "Frontal": ["AF3", "AF4", "F3", "F4", "FC5", "FC6", "F7", "F8"],
     "Temporal": ["T7", "T8"],
     "Parietal": ["P7", "P8"],
     "Occipital": ["O1", "O2"],

@@ -182,15 +182,33 @@ def synth_tbr_epochs(npz_path, real_npz=None, inverse_scale: bool = False):
     return tbr
 
 
-def aggregate_fake(synth_dir, real_dir=None, inverse_scale: bool = False):
+def _subsample_to_count(M: np.ndarray, k: int, rng) -> np.ndarray:
+    """Reference `take` (mental_fatigue_t_test.py:270-277): drop all-NaN rows,
+    then sample k rows without replacement (or keep all when fewer)."""
+    M = M[~np.isnan(M).all(axis=1)]
+    if len(M) == 0 or k <= 0:
+        return np.empty((0, M.shape[1]))
+    if len(M) <= k:
+        return M
+    return M[rng.choice(len(M), size=k, replace=False)]
+
+
+def aggregate_fake(synth_dir, real_dir=None, inverse_scale: bool = False,
+                   real_counts: dict | None = None):
     """Per-posture synthetic means/SDs + count-matched paired SN-vs-SW t-tests
-    (mental_fatigue_t_test.py:243-302)."""
+    (mental_fatigue_t_test.py:243-302). With ``real_counts`` (the counts dict
+    from :func:`aggregate_real`), each synthetic matrix is first downsampled
+    with ``RandomState(0)`` to the real participant count of its
+    (posture, condition) — without this the synthetic stats run on hundreds of
+    epochs instead of the reference's ~4 participants, shrinking SDs and
+    p-values by orders of magnitude."""
     C = len(EPOC_CHANNELS)
     means = {p: {c: np.full(C, np.nan) for c in ("no_exo", "with_exo")}
              for p in range(1, 10)}
     sds = {p: {c: np.full(C, np.nan) for c in ("no_exo", "with_exo")}
            for p in range(1, 10)}
     pvals = {p: np.full(C, np.nan) for p in range(1, 10)}
+    rng = np.random.RandomState(0)
 
     mats = {}
     for p in range(1, 10):
@@ -208,6 +226,10 @@ def aggregate_fake(synth_dir, real_dir=None, inverse_scale: bool = False):
             if real_npz is not None and not real_npz.exists():
                 real_npz = None
             tbr = synth_tbr_epochs(fp, real_npz, inverse_scale)
+            if real_counts is not None:
+                tbr = _subsample_to_count(tbr, max(0, real_counts[p][cond]), rng)
+                if len(tbr) == 0:
+                    continue
             mats[(p, cond)] = tbr
             means[p][cond] = np.nanmean(tbr, axis=0)
             sds[p][cond] = np.nanstd(tbr, axis=0, ddof=0)

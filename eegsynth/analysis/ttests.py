@@ -17,7 +17,9 @@ from pathlib import Path
 import numpy as np
 from scipy.stats import ttest_ind
 
-ORDERED_CH = ["AF3", "AF4", "F3", "F4", "F7", "F8", "FC5", "FC6",
+# Frontal order is AF3,AF4,F3,F4,FC5,FC6,F7,F8 — every reference fatigue
+# script's REGION_ORDER (t_test.py:39-45); FC5/FC6 come BEFORE F7/F8
+ORDERED_CH = ["AF3", "AF4", "F3", "F4", "FC5", "FC6", "F7", "F8",
               "T7", "T8", "P7", "P8", "O1", "O2"]
 GROUPS = ("RN", "RW", "SN", "SW")
 
@@ -97,19 +99,28 @@ def display_scales(groups: dict, mode: str = "none"):
         return float(np.nanpercentile(arr, q)) if arr is not None else np.nan
 
     if mode == "p95":
+        # compute_visibility_scale (t_test_v2.py:119-137): scale DOWN only,
+        # and only when synthetic exceeds real by the 1.5× allowance; never
+        # upscale; floor at MIN_SCALE=0.05; 1.0 when either percentile <= 0
+        ALLOWANCE, MIN_SCALE = 1.5, 0.05
         real_all = [groups[g] for g in ("RN", "RW") if groups.get(g) is not None]
         syn_all = [groups[g] for g in ("SN", "SW") if groups.get(g) is not None]
         if real_all and syn_all:
             r95 = pct(np.concatenate([a.ravel() for a in real_all]), 95)
             s95 = pct(np.concatenate([a.ravel() for a in syn_all]), 95)
-            if np.isfinite(r95) and np.isfinite(s95) and s95 > 0:
-                scales["SN"] = scales["SW"] = r95 / s95
+            if (np.isfinite(r95) and np.isfinite(s95) and r95 > 0 and s95 > 0
+                    and s95 > r95 * ALLOWANCE):
+                scales["SN"] = scales["SW"] = max(MIN_SCALE,
+                                                  (r95 * ALLOWANCE) / s95)
     elif mode == "median":
+        # median_scale (t_test_v3.py:124-130): 1.0 unless BOTH medians are
+        # finite and positive (a zero real median must not zero the bars)
         for syn, real in (("SN", "RN"), ("SW", "RW")):
             if groups.get(syn) is not None and groups.get(real) is not None:
                 ms = float(np.nanmedian(groups[syn]))
                 mr = float(np.nanmedian(groups[real]))
-                if np.isfinite(ms) and ms > 0 and np.isfinite(mr):
+                if (np.isfinite(ms) and ms > 0
+                        and np.isfinite(mr) and mr > 0):
                     scales[syn] = mr / ms
     return scales
 
@@ -171,15 +182,18 @@ def four_group_report(groups: dict, ch_names: list[str], posture: int,
              "scales": scales,
              "means": {g: means[g] for g in GROUPS}}
     if export_csv is not None:
+        # v4 CSV contract (t_test_v4.py:170-189): region-reordered Channel
+        # rows, these exact column names, global scales repeated per row
         import csv
         with open(export_csv, "w", newline="") as f:
             w = csv.writer(f)
-            w.writerow(["channel", "mean_RN", "mean_RW", "mean_SN", "mean_SW",
-                        "t_RN_vs_RW", "p_RN_vs_RW", "t_SN_vs_SW", "p_SN_vs_SW",
-                        "scale_SN", "scale_SW"])
-            for ci, ch in enumerate(ch_names):
-                w.writerow([ch, means["RN"][ci], means["RW"][ci], means["SN"][ci],
-                            means["SW"][ci], t_R[ci], p_R[ci], t_S[ci], p_S[ci],
+            w.writerow(["Channel", "t_stat_real (RN vs RW)",
+                        "p_val_real (RN vs RW)", "t_stat_synth (SN vs SW)",
+                        "p_val_synth (SN vs SW)",
+                        "SN_scale_display", "SW_scale_display"])
+            for ci in range(n_ch):
+                src = order[ci]
+                w.writerow([names[ci], t_R[src], p_R[src], t_S[src], p_S[src],
                             scales["SN"], scales["SW"]])
     return stats
 

@@ -191,13 +191,15 @@ def scatter_plots(Xr, Xg, yr, yg, out_dir, perplexity=30.0, seed=123):
 
     X50 = PCA(n_components=min(50, X.shape[1] - 1), svd_solver="full",
               random_state=seed).fit_transform(X)
+    # old/new-sklearn support (eval_cgan.py:222-227): retry with the legacy
+    # numeric learning_rate on TypeError so the two t-SNE PNGs are always
+    # part of the artifact set rather than silently skipped
     try:
-        ts = TSNE(n_components=2, perplexity=perplexity, init="pca",
-                  learning_rate="auto", random_state=seed)
-        Z = ts.fit_transform(X50)
-    except Exception as e:
-        print(f"t-SNE skipped: {e}")
-        return
+        Z = TSNE(n_components=2, perplexity=perplexity, init="pca",
+                 learning_rate="auto", random_state=seed).fit_transform(X50)
+    except (TypeError, ValueError):
+        Z = TSNE(n_components=2, perplexity=perplexity, init="pca",
+                 learning_rate=200.0, random_state=seed).fit_transform(X50)
     fig, ax = plt.subplots(figsize=(7, 6))
     m = ax.scatter(Z[:, 0], Z[:, 1], c=y, cmap="tab10", s=8, alpha=0.7,
                    edgecolors="none")

@@ -26,10 +26,14 @@ def hampel(x: np.ndarray, k: int = 11, t0: float = 5.0) -> np.ndarray:
     """Sliding-median/MAD outlier replacement (preprocessing_plots.py:80-86),
     vectorized via a strided window view instead of the per-sample loop."""
     n = len(x)
-    pad = np.pad(x, (k, k), mode="edge")
+    # NaN-pad + nanmedian reproduces the reference's TRUNCATED windows at the
+    # boundaries (x[max(i-k,0):min(i+k+1,n)]) — edge-replication would compute
+    # different med/MAD for the first/last k samples
+    pad = np.pad(x.astype(np.float64), (k, k), mode="constant",
+                 constant_values=np.nan)
     win = np.lib.stride_tricks.sliding_window_view(pad, 2 * k + 1)  # (n, 2k+1)
-    med = np.median(win, axis=1)
-    mad = np.median(np.abs(win - med[:, None]), axis=1)
+    med = np.nanmedian(win, axis=1)
+    mad = np.nanmedian(np.abs(win - med[:, None]), axis=1)
     mad = np.where(mad == 0, 1e-6, mad)
     out = x.copy()
     bad = np.abs(x - med) > t0 * 1.4826 * mad
@@ -128,9 +132,11 @@ def plot_bandpowers(x, fs, title, out_fp):
 
 
 def make_default_btr_segments(total_sec: float):
-    """Illustrative baseline/task/recovery split when no markers exist."""
-    a, b = total_sec * 0.2, total_sec * 0.8
-    return [(0.0, a, "baseline"), (a, b, "task"), (b, total_sec, "recovery")]
+    """Illustrative 30% baseline / 50% task / 20% recovery split when no
+    markers exist (preprocessing_plots.py:163-166)."""
+    b, t = total_sec * 0.30, total_sec * 0.50
+    return [(0.0, b, "baseline"), (b, b + t, "task"),
+            (b + t, total_sec, "recovery")]
 
 
 LABEL_COLORS = {"baseline": "#4caf50", "task": "#2196f3", "recovery": "#ff9800",

@@ -28,12 +28,16 @@ def standardize_per_seq(X: np.ndarray) -> np.ndarray:
 
 
 def smooth_ma(X: np.ndarray, k: int) -> np.ndarray:
-    """Centered moving average along time for (N, T, C)."""
+    """Centered moving average along time for (N, T, C). Matches the
+    reference's smooth_ma_1d (plot_real_vs_syn_all.py:74-80): k is forced odd
+    (an even k would phase-shift every trace by half a sample) and the pad is
+    'reflect', not 'edge'."""
     if k <= 1:
         return X
+    k = int(k) + (int(k) % 2 == 0)  # force odd
     kernel = np.ones(k) / k
     pad = k // 2
-    Xp = np.pad(X, ((0, 0), (pad, k - 1 - pad), (0, 0)), mode="edge")
+    Xp = np.pad(X, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
     out = np.empty_like(X)
     for c in range(X.shape[2]):
         out[:, :, c] = np.apply_along_axis(

@@ -212,7 +212,8 @@ def cmd_participants(args):
     per_part = collect_real(Path(args.data_root))
     r_means, r_sds, r_pvals, counts = aggregate_real(per_part)
     s_means, s_sds, s_pvals = aggregate_fake(args.synth_dir, args.real_dir,
-                                             inverse_scale=args.inverse_scale)
+                                             inverse_scale=args.inverse_scale,
+                                             real_counts=counts)
 
     import matplotlib
     matplotlib.use("Agg")

@@ -82,11 +82,23 @@ def test_display_scales():
               "SN": np.full((10, 2), 2.0), "SW": np.full((10, 2), 3.0)}
     s = display_scales(groups, "none")
     assert all(v == 1.0 for v in s.values())
+    # p95 never UPSCALES (t_test_v2.py:134: scale only when synth > 1.5*real):
+    # here synthetic p95 (3) < real p95 (6) so the scale stays 1.0
     s = display_scales(groups, "p95")
-    np.testing.assert_allclose(s["SN"], 6.0 / 3.0)
+    np.testing.assert_allclose(s["SN"], 1.0)
+    # trigger case: synth p95 = 30 > 1.5*6 → scale to 1.5*real/synth
+    big = {**groups, "SN": np.full((10, 2), 30.0), "SW": np.full((10, 2), 30.0)}
+    s = display_scales(big, "p95")
+    np.testing.assert_allclose(s["SN"], 1.5 * 6.0 / 30.0)
+    # floor: enormous synthetic clamps at MIN_SCALE=0.05
+    huge = {**groups, "SN": np.full((10, 2), 1e4), "SW": np.full((10, 2), 1e4)}
+    np.testing.assert_allclose(display_scales(huge, "p95")["SN"], 0.05)
     s = display_scales(groups, "median")
     np.testing.assert_allclose(s["SN"], 2.0)   # RN median 4 / SN median 2
     np.testing.assert_allclose(s["SW"], 2.0)   # RW 6 / SW 3
+    # zero real median must not zero the bars (t_test_v3.py:128 guard)
+    zr = {**groups, "RN": np.zeros((10, 2))}
+    np.testing.assert_allclose(display_scales(zr, "median")["SN"], 1.0)
 
 
 def test_reorder_and_group_channels():
