@@ -120,6 +120,24 @@ def test_participant_fatigue_units(rng):
     assert v[0] == 1.0 and v[13] == 2.0 and np.isnan(v[1:13]).all()
 
 
+def test_subsample_to_count(rng):
+    # reference `take` (mental_fatigue_t_test.py:270-277): NaN-row drop, then
+    # sample k rows without replacement; keep all when fewer; empty on k<=0
+    from eegsynth.analysis.participant_fatigue import _subsample_to_count
+    M = rng.standard_normal((10, 3))
+    M[4] = np.nan  # all-NaN row must be dropped before counting
+    out = _subsample_to_count(M, 4, np.random.RandomState(0))
+    assert out.shape == (4, 3) and not np.isnan(out).any()
+    # rows come from M without replacement (all distinct)
+    assert len({tuple(r) for r in out}) == 4
+    # fewer rows than k → keep all 9 non-NaN rows
+    out = _subsample_to_count(M, 50, np.random.RandomState(0))
+    assert out.shape == (9, 3)
+    assert _subsample_to_count(M, 0, np.random.RandomState(0)).shape == (0, 3)
+    allnan = np.full((3, 2), np.nan)
+    assert _subsample_to_count(allnan, 2, np.random.RandomState(0)).shape[0] == 0
+
+
 def test_viz_smoke(tmp_path, rng):
     from eegsynth.viz.cluster import cluster_figures
     from eegsynth.viz.traces import estimate_prefix_to_trim, plot_pair
