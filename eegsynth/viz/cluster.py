@@ -97,6 +97,86 @@ def _compact_legend(ax, ncols=3, fontsize=5.2):
                      markerscale=0.9)
 
 
+def add_paired_legend(ax, colors, color_scheme: str = "36", fontsize: float = 5.6):
+    """2-column (Real, Synthetic) legend enumerating all posture×condition rows
+    (visualization_color_scheme_paired_legend.py:123-150; CGAN twin
+    visualization_36_clusters_zoom.py:175-193). Enumerates postures 1..9 ×
+    both conditions regardless of which combinations are present, matching the
+    reference's fixed layout."""
+    from matplotlib.lines import Line2D
+    handles, labels = [], []
+    for p in range(1, 10):
+        for cond in ("no_exo", "with_exo"):
+            nm = "No exo" if cond == "no_exo" else "With exo"
+            gid_r = cluster_id(p, cond, 1, color_scheme)
+            handles.append(Line2D([], [], linestyle="None", marker="o",
+                                  markersize=5, color=colors[gid_r]))
+            labels.append(f"P-{p} {nm} Real")
+            gid_g = cluster_id(p, cond, 0, color_scheme)
+            handles.append(Line2D([], [], linestyle="None", marker="x",
+                                  markersize=5, color=colors[gid_g]))
+            labels.append(f"P-{p} {nm} Syn")
+    return ax.legend(handles, labels, ncol=2, fontsize=fontsize, frameon=False,
+                     loc="upper left", bbox_to_anchor=(1.02, 1),
+                     borderaxespad=0.0, columnspacing=1.0, handlelength=1.2,
+                     handletextpad=0.5, markerscale=1.0)
+
+
+def zoom_pair_figures(X, P, D, C, colors, p, cond, out_dir,
+                      color_scheme: str = "36", seed: int = 0,
+                      pca_keep: int = 50, tsne_perplexity: float = 30.0) -> bool:
+    """Per-(posture, condition) zoom pair with FRESH subset embeddings
+    (visualization_v2.py:111-140; CGAN twin plot_zoom_pair
+    visualization_36_clusters_zoom.py:237-283): PCA-2 and PCA-K→t-SNE are
+    recomputed on the subset — not sliced out of the global embedding — so the
+    zoom shows the pair's local structure. Writes zoom_p{p}_{cond}_pca.png and
+    zoom_p{p}_{cond}_tsne.png at dpi 180."""
+    plt = _plt()
+    from sklearn.decomposition import PCA
+    from sklearn.manifold import TSNE
+
+    ms = (P == p) & (C == cond)
+    if not np.any(ms):
+        return False
+    Xs, Ds = X[ms], D[ms]
+    n = len(Xs)
+    gid_r = cluster_id(p, cond, 1, color_scheme)
+    gid_g = cluster_id(p, cond, 0, color_scheme)
+    nm = f"P{p} {'W' if cond == 'with_exo' else 'N'}"
+
+    def save(emb, kind, title):
+        fig, ax = plt.subplots(figsize=(6.0, 4.6))
+        ri = Ds == 1
+        if np.any(ri):
+            ax.scatter(emb[ri, 0], emb[ri, 1], s=14, alpha=0.9, marker="o",
+                       c=[colors[gid_r]], label=f"{nm} R")
+        if np.any(~ri):
+            ax.scatter(emb[~ri, 0], emb[~ri, 1], s=14, alpha=0.9, marker="x",
+                       c=[colors[gid_g]], label=f"{nm} G")
+        ax.set_title(title)
+        ax.set_xlabel("Dim 1")
+        ax.set_ylabel("Dim 2")
+        ax.legend(loc="best", fontsize=8, frameon=False)
+        fig.tight_layout()
+        fig.savefig(Path(out_dir) / f"zoom_p{p}_{cond}_{kind}.png", dpi=180)
+        plt.close(fig)
+
+    k2 = min(2, n, Xs.shape[1])
+    pca2 = PCA(n_components=k2, random_state=seed).fit_transform(Xs)
+    if pca2.shape[1] < 2:  # degenerate 1-sample subset; reference would crash
+        pca2 = np.concatenate([pca2, np.zeros((n, 2 - pca2.shape[1]))], axis=1)
+    save(pca2, "pca", f"ZOOM PCA: P{p} – {cond} (●R, ×G)")
+
+    K = min(pca_keep, Xs.shape[1], max(2, n - 1))
+    Xred = PCA(n_components=K, random_state=seed).fit_transform(Xs)
+    # reference safe-perplexity formula, plus sklearn's hard bound perp < n
+    perp = min(tsne_perplexity, max(5, n // 3), max(1, n - 1))
+    ts2 = TSNE(n_components=2, perplexity=perp, init="pca",
+               random_state=seed).fit_transform(Xred)
+    save(ts2, "tsne", f"ZOOM t-SNE: P{p} – {cond} (●R, ×G)")
+    return True
+
+
 def save_legend_png(handles_labels, out_path, ncols=4):
     """Separate legend figure (visualization_with_legends.py capability)."""
     plt = _plt()
@@ -112,11 +192,15 @@ def cluster_figures(pairs: dict, out_dir, color_scheme: str = "36", seed: int = 
                     tsne_perplexity: float = 30.0, tsne_max: int = 6000,
                     pca_keep: int = 50, winsor_low: float = 0.005,
                     winsor_high: float = 0.995, zooms: bool = False,
-                    separate_legend: bool = False) -> None:
+                    separate_legend: bool = False,
+                    paired_legend: bool = False) -> None:
     """Full cluster-figure pass over {(posture, cond): (real, fake)} pairs.
 
-    Writes pca_combined.png + tsne_combined.png, optional per-cluster zoom
-    figures (global colors preserved) and separate legend PNGs.
+    Writes pca_combined.png + tsne_combined.png; with ``zooms``, per-(posture,
+    condition) zoom_p{p}_{cond}_{pca,tsne}.png figures with fresh subset
+    embeddings and global colors; with ``separate_legend``, standalone legend
+    PNGs; with ``paired_legend``, the fixed 2-column (Real, Synthetic)
+    enumeration legend instead of the compact per-scatter one.
     """
     plt = _plt()
     from sklearn.decomposition import PCA
@@ -149,23 +233,12 @@ def cluster_figures(pairs: dict, out_dir, color_scheme: str = "36", seed: int = 
         if separate_legend:
             save_legend_png(ax.get_legend_handles_labels(),
                             out_dir / f"{name}_legend.png")
+        elif paired_legend:
+            add_paired_legend(ax, colors, color_scheme)
         else:
             _compact_legend(ax)
         fig.savefig(out_dir / f"{name}.png", dpi=170)
         plt.close(fig)
-        if zooms:
-            for p in np.unique(Pm):
-                for c in ("with_exo", "no_exo"):
-                    m = (Pm == p) & (Cm == c)
-                    if not np.any(m):
-                        continue
-                    figz, axz = plt.subplots(figsize=(5.5, 4.2))
-                    scatter_clusters(axz, emb[m], Pm[m], Dm[m], Cm[m], colors,
-                                     color_scheme, point_size=14)
-                    axz.set_title(f"{title} — zoom P{p} {c}")
-                    axz.legend(fontsize=7, frameon=False)
-                    figz.savefig(out_dir / f"{name}_zoom_p{p}_{c}.png", dpi=170)
-                    plt.close(figz)
 
     pca2 = PCA(n_components=2, random_state=seed).fit_transform(X)
     one_plot(pca2, P, D, C, "pca_combined",
@@ -178,3 +251,12 @@ def cluster_figures(pairs: dict, out_dir, color_scheme: str = "36", seed: int = 
                random_state=seed).fit_transform(Xred)
     one_plot(ts2, Pb, Db, Cb, "tsne_combined",
              "Combined t-SNE: Posture×Condition (● Real, × Gen)")
+
+    if zooms:
+        # fresh subset embeddings on the full preprocessed X, one pair of
+        # figures per (posture, condition) present (visualization_v2.py:202-208)
+        for (p, c) in sorted(pairs):
+            zoom_pair_figures(X, P, D, C, colors, p, c, out_dir,
+                              color_scheme=color_scheme, seed=seed,
+                              pca_keep=pca_keep,
+                              tsne_perplexity=tsne_perplexity)

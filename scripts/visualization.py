@@ -26,9 +26,12 @@ def main():
     ap.add_argument("--winsor_high", type=float, default=0.995)
     ap.add_argument("--color_scheme", type=str, choices=["36", "18"], default="36")
     ap.add_argument("--zooms", action="store_true",
-                    help="per-(posture,condition) zoom figures with global colors")
+                    help="per-(posture,condition) zoom figures (fresh subset "
+                         "PCA/t-SNE embeddings, global colors)")
     ap.add_argument("--separate-legend", action="store_true",
                     help="write legends as standalone PNGs")
+    ap.add_argument("--paired-legend", action="store_true",
+                    help="fixed 2-column (Real, Synthetic) enumeration legend")
     args = ap.parse_args()
 
     import numpy as np
@@ -43,7 +46,8 @@ def main():
                     seed=args.seed, tsne_perplexity=args.tsne_perplexity,
                     tsne_max=args.tsne_max, pca_keep=args.pca_keep,
                     winsor_low=args.winsor_low, winsor_high=args.winsor_high,
-                    zooms=args.zooms, separate_legend=args.separate_legend)
+                    zooms=args.zooms, separate_legend=args.separate_legend,
+                    paired_legend=args.paired_legend)
     print(f"Saved PCA and t-SNE to {args.out}")
 
 

@@ -151,7 +151,8 @@ def test_viz_smoke(tmp_path, rng):
     assert (tmp_path / "pca_combined.png").exists()
     assert (tmp_path / "tsne_combined.png").exists()
     assert (tmp_path / "pca_combined_legend.png").exists()
-    assert (tmp_path / "pca_combined_zoom_p1_no_exo.png").exists()
+    assert (tmp_path / "zoom_p1_no_exo_pca.png").exists()
+    assert (tmp_path / "zoom_p1_no_exo_tsne.png").exists()
 
     real, fake = pairs[(1, "no_exo")]
     L = plot_pair(real, fake, ["a", "b", "c"], 128.0, tmp_path, "t", n_samples=2)

@@ -69,8 +69,15 @@ def test_cluster_figures_smoke(tmp_path, rng):
     assert (tmp_path / "pca_combined.png").exists()
     assert (tmp_path / "tsne_combined.png").exists()
     assert (tmp_path / "pca_combined_legend.png").exists()
-    zooms = list(tmp_path.glob("pca_combined_zoom_*.png"))
-    assert zooms, "zoom figures missing"
+    # reference zoom contract (visualization_v2.py:124,139): one pca + one
+    # tsne zoom per (posture, condition), fresh subset embeddings
+    for p, cond in ((1, "no_exo"), (2, "with_exo")):
+        assert (tmp_path / f"zoom_p{p}_{cond}_pca.png").exists()
+        assert (tmp_path / f"zoom_p{p}_{cond}_tsne.png").exists()
+    # paired-legend mode renders without error
+    cluster_figures(pairs, tmp_path / "paired", color_scheme="18",
+                    tsne_perplexity=5.0, tsne_max=80, paired_legend=True)
+    assert (tmp_path / "paired" / "pca_combined.png").exists()
 
 
 def test_standardize_per_seq(rng):
