@@ -202,3 +202,47 @@ def test_cgan_cli_reference_flag_surface(monkeypatch):
     import pytest as _pytest
     with _pytest.raises(SystemExit, match="not implemented"):
         mod.main()
+
+
+def test_visualization_cgan_cli(tmp_path, monkeypatch):
+    """CGAN 36-cluster viz (visualization_36_clusters_zoom.py contract):
+    pca_36/tsne_36 with the paired legend + fresh-embedding zoom pairs under
+    zooms/, synthesized from a per-posture generator checkpoint."""
+    import jax
+    from eegsynth.train import checkpoint as ckpt_io
+    from eegsynth.train.cgan import (
+        CGANHParams, build_cfg, generator_init, generator_meta,
+    )
+
+    rng = np.random.default_rng(0)
+    data_dir = tmp_path / "prep"
+    data_dir.mkdir()
+    for cond in ("no_exo", "with_exo"):
+        X = rng.uniform(0, 1, (6, 768, 14)).astype(np.float32)
+        np.savez_compressed(
+            data_dir / f"posture1_{cond}.npz", X=X, fs=np.float32(128.0),
+            ch_names=np.array([f"ch{i}" for i in range(14)]),
+            scale_min=np.zeros(14, np.float32),
+            scale_range=np.ones(14, np.float32))
+
+    hp = CGANHParams(variant="v2")
+    cfg = build_cfg(hp, num_classes=2)
+    G, bn = generator_init(jax.random.key(0), cfg)
+    run_dir = tmp_path / "runs" / "posture1"
+    run_dir.mkdir(parents=True)
+    ckpt_io.save_checkpoint(run_dir / "CGAN_generator_posture1_best.npz",
+                            {"model": G, "bn": bn},
+                            generator_meta(hp, 2, "posture1"))
+
+    mod = _load_script("visualization_cgan")
+    out = tmp_path / "viz"
+    monkeypatch.setattr(sys, "argv", [
+        "visualization_cgan.py", "--data-dir", str(data_dir),
+        "--runs-root", str(tmp_path / "runs"), "--out", str(out),
+        "--postures", "1", "--tsne-perplexity", "3", "--platform", "cpu"])
+    mod.main()
+    assert (out / "pca_36.png").exists()
+    assert (out / "tsne_36.png").exists()
+    for cond in ("no_exo", "with_exo"):
+        assert (out / "zooms" / f"zoom_p1_{cond}_pca.png").exists()
+        assert (out / "zooms" / f"zoom_p1_{cond}_tsne.png").exists()
