@@ -65,25 +65,32 @@ def make_palette(n: int, cmap_name: str = "hsv"):
     return [cmap(i) for i in range(n)]
 
 
-def cluster_id(posture: int, cond: str, domain: int, color_scheme: str = "36") -> int:
+def cluster_id(posture: int, cond: str, domain: int, color_scheme: str = "36",
+               dark_posture: int | None = None) -> int:
     """36: unique color per posture×cond×domain; 18: per posture×cond
-    (visualization.py:85-93)."""
+    (visualization.py:85-93). ``dark_posture`` forces that posture onto the
+    low palette indices — the darker hsv colors — the cosmetic bias the
+    visualization_color_scheme*.py variants apply to posture 2."""
     p = posture - 1
     c = 0 if cond == "with_exo" else 1
     if color_scheme == "36":
+        if posture == dark_posture:
+            return c * 2 + (0 if domain == 1 else 1)
         return p * 4 + c * 2 + (0 if domain == 1 else 1)
+    if posture == dark_posture:
+        return c
     return p * 2 + c
 
 
 def scatter_clusters(ax, emb, P, D, C, colors, color_scheme: str = "36",
-                     point_size: float = 9):
+                     point_size: float = 9, dark_posture: int | None = None):
     for p in np.unique(P):
         for c in ("with_exo", "no_exo"):
             for d in (1, 0):
                 m = (P == p) & (C == c) & (D == d)
                 if not np.any(m):
                     continue
-                gid = cluster_id(p, c, d, color_scheme)
+                gid = cluster_id(p, c, d, color_scheme, dark_posture)
                 label = f"P{p} {'W' if c == 'with_exo' else 'N'} {'R' if d == 1 else 'G'}"
                 ax.scatter(emb[m, 0], emb[m, 1], s=point_size, alpha=0.8,
                            marker=("o" if d == 1 else "x"), c=[colors[gid]],
@@ -97,7 +104,8 @@ def _compact_legend(ax, ncols=3, fontsize=5.2):
                      markerscale=0.9)
 
 
-def add_paired_legend(ax, colors, color_scheme: str = "36", fontsize: float = 5.6):
+def add_paired_legend(ax, colors, color_scheme: str = "36",
+                      fontsize: float = 5.6, dark_posture: int | None = None):
     """2-column (Real, Synthetic) legend enumerating all posture×condition rows
     (visualization_color_scheme_paired_legend.py:123-150; CGAN twin
     visualization_36_clusters_zoom.py:175-193). Enumerates postures 1..9 ×
@@ -108,11 +116,11 @@ def add_paired_legend(ax, colors, color_scheme: str = "36", fontsize: float = 5.
     for p in range(1, 10):
         for cond in ("no_exo", "with_exo"):
             nm = "No exo" if cond == "no_exo" else "With exo"
-            gid_r = cluster_id(p, cond, 1, color_scheme)
+            gid_r = cluster_id(p, cond, 1, color_scheme, dark_posture)
             handles.append(Line2D([], [], linestyle="None", marker="o",
                                   markersize=5, color=colors[gid_r]))
             labels.append(f"P-{p} {nm} Real")
-            gid_g = cluster_id(p, cond, 0, color_scheme)
+            gid_g = cluster_id(p, cond, 0, color_scheme, dark_posture)
             handles.append(Line2D([], [], linestyle="None", marker="x",
                                   markersize=5, color=colors[gid_g]))
             labels.append(f"P-{p} {nm} Syn")
@@ -124,7 +132,8 @@ def add_paired_legend(ax, colors, color_scheme: str = "36", fontsize: float = 5.
 
 def zoom_pair_figures(X, P, D, C, colors, p, cond, out_dir,
                       color_scheme: str = "36", seed: int = 0,
-                      pca_keep: int = 50, tsne_perplexity: float = 30.0) -> bool:
+                      pca_keep: int = 50, tsne_perplexity: float = 30.0,
+                      dark_posture: int | None = None) -> bool:
     """Per-(posture, condition) zoom pair with FRESH subset embeddings
     (visualization_v2.py:111-140; CGAN twin plot_zoom_pair
     visualization_36_clusters_zoom.py:237-283): PCA-2 and PCA-K→t-SNE are
@@ -140,8 +149,8 @@ def zoom_pair_figures(X, P, D, C, colors, p, cond, out_dir,
         return False
     Xs, Ds = X[ms], D[ms]
     n = len(Xs)
-    gid_r = cluster_id(p, cond, 1, color_scheme)
-    gid_g = cluster_id(p, cond, 0, color_scheme)
+    gid_r = cluster_id(p, cond, 1, color_scheme, dark_posture)
+    gid_g = cluster_id(p, cond, 0, color_scheme, dark_posture)
     nm = f"P{p} {'W' if cond == 'with_exo' else 'N'}"
 
     def save(emb, kind, title):
@@ -193,14 +202,17 @@ def cluster_figures(pairs: dict, out_dir, color_scheme: str = "36", seed: int = 
                     pca_keep: int = 50, winsor_low: float = 0.005,
                     winsor_high: float = 0.995, zooms: bool = False,
                     separate_legend: bool = False,
-                    paired_legend: bool = False) -> None:
+                    paired_legend: bool = False,
+                    dark_posture: int | None = None) -> None:
     """Full cluster-figure pass over {(posture, cond): (real, fake)} pairs.
 
     Writes pca_combined.png + tsne_combined.png; with ``zooms``, per-(posture,
     condition) zoom_p{p}_{cond}_{pca,tsne}.png figures with fresh subset
     embeddings and global colors; with ``separate_legend``, standalone legend
     PNGs; with ``paired_legend``, the fixed 2-column (Real, Synthetic)
-    enumeration legend instead of the compact per-scatter one.
+    enumeration legend instead of the compact per-scatter one; with
+    ``dark_posture``, that posture takes the low (darker) palette indices
+    (the visualization_color_scheme*.py posture-2 bias).
     """
     plt = _plt()
     from sklearn.decomposition import PCA
@@ -225,7 +237,8 @@ def cluster_figures(pairs: dict, out_dir, color_scheme: str = "36", seed: int = 
 
     def one_plot(emb, Pm, Dm, Cm, name, title):
         fig, ax = plt.subplots(figsize=(8.6, 5.8))
-        scatter_clusters(ax, emb, Pm, Dm, Cm, colors, color_scheme)
+        scatter_clusters(ax, emb, Pm, Dm, Cm, colors, color_scheme,
+                         dark_posture=dark_posture)
         ax.set_title(title)
         ax.set_xlabel("Dim 1")
         ax.set_ylabel("Dim 2")
@@ -234,7 +247,8 @@ def cluster_figures(pairs: dict, out_dir, color_scheme: str = "36", seed: int = 
             save_legend_png(ax.get_legend_handles_labels(),
                             out_dir / f"{name}_legend.png")
         elif paired_legend:
-            add_paired_legend(ax, colors, color_scheme)
+            add_paired_legend(ax, colors, color_scheme,
+                              dark_posture=dark_posture)
         else:
             _compact_legend(ax)
         fig.savefig(out_dir / f"{name}.png", dpi=170)
@@ -259,4 +273,5 @@ def cluster_figures(pairs: dict, out_dir, color_scheme: str = "36", seed: int = 
             zoom_pair_figures(X, P, D, C, colors, p, c, out_dir,
                               color_scheme=color_scheme, seed=seed,
                               pca_keep=pca_keep,
-                              tsne_perplexity=tsne_perplexity)
+                              tsne_perplexity=tsne_perplexity,
+                              dark_posture=dark_posture)

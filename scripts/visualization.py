@@ -32,6 +32,10 @@ def main():
                     help="write legends as standalone PNGs")
     ap.add_argument("--paired-legend", action="store_true",
                     help="fixed 2-column (Real, Synthetic) enumeration legend")
+    ap.add_argument("--dark-posture", type=int, default=None,
+                    help="force this posture onto the darker low palette "
+                         "indices (visualization_color_scheme*.py posture-2 "
+                         "bias; pass 2 for the reference rendering)")
     args = ap.parse_args()
 
     import numpy as np
@@ -47,7 +51,8 @@ def main():
                     tsne_max=args.tsne_max, pca_keep=args.pca_keep,
                     winsor_low=args.winsor_low, winsor_high=args.winsor_high,
                     zooms=args.zooms, separate_legend=args.separate_legend,
-                    paired_legend=args.paired_legend)
+                    paired_legend=args.paired_legend,
+                    dark_posture=args.dark_posture)
     print(f"Saved PCA and t-SNE to {args.out}")
 
 

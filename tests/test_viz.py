@@ -133,3 +133,13 @@ def test_parse_labels_from_filename():
     assert "trial" in meta["trial"].lower() or "2" in meta["trial"]
     assert isinstance(meta["condition"], str) and meta["condition"]
     assert "task" in meta and "state" in meta
+
+
+def test_cluster_id_dark_posture():
+    # visualization_color_scheme.py bias: the dark posture takes indices 0..3
+    # (36 scheme) / 0..1 (18 scheme); other postures keep their slots
+    assert cluster_id(2, "with_exo", 1, "36", dark_posture=2) == 0
+    assert cluster_id(2, "no_exo", 0, "36", dark_posture=2) == 3
+    assert cluster_id(3, "with_exo", 1, "36", dark_posture=2) == 8
+    assert cluster_id(2, "no_exo", 1, "18", dark_posture=2) == 1
+    assert cluster_id(2, "no_exo", 1, "18") == 3
