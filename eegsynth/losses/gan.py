@@ -16,6 +16,45 @@ def g_hinge(fake_scores: jax.Array) -> jax.Array:
     return -jnp.mean(fake_scores)
 
 
+def d_bce(real_scores: jax.Array, fake_scores: jax.Array) -> jax.Array:
+    """BCE-with-logits D loss, real→1 / fake→0. The reference's --loss flag
+    advertises "bce" without implementing it (cgan.py:48,258-261); this is the
+    standard numerically-stable formulation."""
+    return (jnp.mean(jax.nn.softplus(-real_scores))
+            + jnp.mean(jax.nn.softplus(fake_scores)))
+
+
+def g_bce(fake_scores: jax.Array) -> jax.Array:
+    """Non-saturating BCE generator loss (fake→1)."""
+    return jnp.mean(jax.nn.softplus(-fake_scores))
+
+
+def d_wgan(real_scores: jax.Array, fake_scores: jax.Array) -> jax.Array:
+    """Wasserstein critic loss (pair with gradient_penalty). Advertised by the
+    reference's --loss flag ("wgan-gp") but never implemented there."""
+    return jnp.mean(fake_scores) - jnp.mean(real_scores)
+
+
+def g_wgan(fake_scores: jax.Array) -> jax.Array:
+    return -jnp.mean(fake_scores)
+
+
+def gradient_penalty(score_fn, key, real: jax.Array, fake: jax.Array) -> jax.Array:
+    """WGAN-GP two-sided penalty: E[(‖∇_x̂ D(x̂)‖₂ − 1)²] on per-sample random
+    interpolates x̂ = ε·real + (1−ε)·fake (Gulrajani et al. 2017).
+
+    ``score_fn(x) -> (B,) scores``; gradients flow to the critic parameters
+    closed over by score_fn, not through real/fake."""
+    real = jax.lax.stop_gradient(real)
+    fake = jax.lax.stop_gradient(fake)
+    eps_shape = (real.shape[0],) + (1,) * (real.ndim - 1)
+    eps = jax.random.uniform(key, eps_shape, real.dtype)
+    x_hat = eps * real + (1.0 - eps) * fake
+    g = jax.grad(lambda xx: jnp.sum(score_fn(xx)))(x_hat)
+    norms = jnp.sqrt(jnp.sum(g.reshape(g.shape[0], -1) ** 2, axis=1) + 1e-12)
+    return jnp.mean((norms - 1.0) ** 2)
+
+
 def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """torch CrossEntropyLoss (mean reduction) for ACGAN heads."""
     logp = jax.nn.log_softmax(logits, axis=-1)

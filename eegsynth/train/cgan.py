@@ -35,7 +35,8 @@ from eegsynth.data.datasets import (
 )
 from eegsynth.losses.augment import diffaugment_1d
 from eegsynth.losses.gan import (
-    amp_calib_loss, cross_entropy, d_hinge, feature_matching, g_hinge,
+    amp_calib_loss, cross_entropy, d_bce, d_hinge, d_wgan, feature_matching,
+    g_bce, g_hinge, g_wgan, gradient_penalty,
 )
 from eegsynth.losses.spectral import (
     coh_loss_random, cov_loss, posture_conditional_losses, psd_loss,
@@ -127,6 +128,8 @@ class CGANHParams:
     seed: int = 42
     variant: str = "v1"          # "v1" | "v2"
     arch: str = "conv"           # "conv" (reference parity) | "transformer" extra
+    gan_loss: str = "hinge"      # "hinge" (reference) | "bce" | "wgan-gp"
+    gp_weight: float = 10.0      # wgan-gp only (the reference's --gp-weight)
     tf_dim: int = 256            # transformer-arch shape knobs
     tf_depth: int = 4
     tf_heads: int = 4
@@ -201,6 +204,15 @@ def _make_epoch_core(cfg: CGANConfig, hp: CGANHParams, optG, optD,
     With a mesh, batch-major tensors are sharded over the ``data`` axis and
     GSPMD inserts the gradient all-reduce (params stay replicated)."""
     B = hp.batch_size
+    # adversarial objective: hinge is the reference's (only) implementation;
+    # bce / wgan-gp honor the reference's advertised-but-unimplemented --loss
+    # modes (cgan.py:48,258-261)
+    d_advs = {"hinge": d_hinge, "bce": d_bce, "wgan-gp": d_wgan}
+    g_advs = {"hinge": g_hinge, "bce": g_bce, "wgan-gp": g_wgan}
+    if hp.gan_loss not in d_advs:
+        raise ValueError(f"gan_loss must be one of {sorted(d_advs)}, "
+                         f"got {hp.gan_loss!r}")
+    d_adv, g_adv = d_advs[hp.gan_loss], g_advs[hp.gan_loss]
 
     def r1_penalty(d_params, x_in, labels):
         def score_sum(xx):
@@ -243,9 +255,24 @@ def _make_epoch_core(cfg: CGANConfig, hp: CGANHParams, optG, optD,
                                                       train=True, dropout_key=kd[10])
                     fs_l, flog_l, _, Dl2 = disc_apply(Dl1, fake_loc, labels, cfg,
                                                       train=True, dropout_key=kd[11])
-                    loss = (d_hinge(rs_g, fs_g) + d_hinge(rs_l, fs_l)
+                    loss = (d_adv(rs_g, fs_g) + d_adv(rs_l, fs_l)
                             + hp.acgan_weight * (cross_entropy(rlog_g, labels)
                                                  + cross_entropy(rlog_l, labels)))
+                    if hp.gan_loss == "wgan-gp" and hp.gp_weight > 0:
+                        # per-step two-sided GP on both critics; keys are
+                        # fold_in-derived so the default hinge RNG stream is
+                        # untouched (tags chosen far outside split indices)
+                        gp = (gradient_penalty(
+                                  lambda xx: disc_apply(D["dg"], xx, labels,
+                                                        cfg, train=False)[0],
+                                  jax.random.fold_in(kd[2], 0x47500001),
+                                  real_in, fake_in)
+                              + gradient_penalty(
+                                  lambda xx: disc_apply(D["dl"], xx, labels,
+                                                        cfg, train=False)[0],
+                                  jax.random.fold_in(kd[3], 0x47500002),
+                                  real_loc, fake_loc))
+                        loss = loss + hp.gp_weight * gp
                     if hp.r1_gamma > 0:
                         r1 = jax.lax.cond(
                             do_r1,
@@ -300,7 +327,7 @@ def _make_epoch_core(cfg: CGANConfig, hp: CGANHParams, optG, optD,
                                               train=True, dropout_key=ks[18])
             loss = jnp.float32(0.0)
             if not prewarm:
-                loss = (g_hinge(gs_g) + g_hinge(gs_l)
+                loss = (g_adv(gs_g) + g_adv(gs_l)
                         + hp.g_acgan_weight * (cross_entropy(glog_g, labels_g)
                                                + cross_entropy(glog_l, labels_g)))
             rfeat, _ = disc_features(D["dg"], real_g, cfg, train=False)

@@ -42,9 +42,9 @@ def get_args():
     p.add_argument("--no-diffaugment", action="store_true")
     # Reference CLI-surface parity (cgan.py:55-84). --ema/--use-diffaugment
     # are store_true with default True in the reference too (i.e. no-ops
-    # there as well); --loss lists wgan-gp/bce but only hinge is implemented
-    # (SURVEY §2.3); --gp-weight is only read by the unimplemented wgan-gp
-    # path; --amp-d is meaningless on TPU (no GradScaler needed).
+    # there as well); --amp-d is meaningless on TPU (no GradScaler needed).
+    # The reference lists wgan-gp/bce in --loss but implements only hinge
+    # (cgan.py:258-261); here all three are real (losses/gan.py).
     p.add_argument("--ema", action="store_true", default=True,
                    help="EMA generator (always on; disable with --no-ema)")
     p.add_argument("--use-diffaugment", action="store_true", default=True,
@@ -52,8 +52,7 @@ def get_args():
     p.add_argument("--loss", type=str, default="hinge",
                    choices=["hinge", "wgan-gp", "bce"])
     p.add_argument("--gp-weight", type=float, default=10.0,
-                   help="unused: only the hinge loss is implemented, as in "
-                        "the reference")
+                   help="gradient-penalty weight (wgan-gp loss only)")
     p.add_argument("--amp-d", action="store_true", default=True,
                    help="no-op on TPU: the D step runs f32 without a scaler")
     p.add_argument("--resume", type=str, default="")
@@ -117,10 +116,6 @@ def main():
         generate_for_condition(args)
         return
 
-    if args.loss != "hinge":
-        raise SystemExit(f"--loss {args.loss} is not implemented (the reference "
-                         "lists wgan-gp/bce but only implements hinge, "
-                         "cgan.py:258-261); use --loss hinge.")
     cfg = json.load(open(args.config)) if args.config else {}
     hp = {}
     for k in HP_FLAGS:
@@ -133,6 +128,8 @@ def main():
         hp["ema"] = False
     if args.no_diffaugment:
         hp["use_diffaugment"] = False
+    hp["gan_loss"] = args.loss
+    hp["gp_weight"] = args.gp_weight
 
     from eegsynth.train.cgan import train_one_condition
     from eegsynth.train.sharding import mesh_from_flags

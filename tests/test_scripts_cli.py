@@ -197,11 +197,11 @@ def test_cgan_cli_reference_flag_surface(monkeypatch):
     a = mod.get_args()
     assert a.loss == "hinge" and a.gp_weight == 5.0 and a.d_steps == 2
     assert a.no_ema  # disable path still works alongside the no-op enable
-    # unimplemented losses are rejected with a clear message
-    monkeypatch.setattr(sys, "argv", ["train_cgan.py", "--loss", "wgan-gp"])
-    import pytest as _pytest
-    with _pytest.raises(SystemExit, match="not implemented"):
-        mod.main()
+    # all three advertised losses parse (and all three are implemented here,
+    # unlike the reference where only hinge exists)
+    for loss in ("hinge", "bce", "wgan-gp"):
+        monkeypatch.setattr(sys, "argv", ["train_cgan.py", "--loss", loss])
+        assert mod.get_args().loss == loss
 
 
 def test_visualization_cgan_cli(tmp_path, monkeypatch):
