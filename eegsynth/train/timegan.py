@@ -377,6 +377,7 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
 
 def train_single_npz(npz_path, out_dir, device=None, mesh=None,
                      log_every: int = 100, profile_dir=None, resume: bool = False,
+                     ckpt_format: str = "npz", async_ckpt: bool = False,
                      **hparams) -> dict:
     """Train one TimeGAN on one (posture, condition) bucket NPZ.
 
@@ -385,10 +386,20 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
     synthetic.npz. Returns a summary dict incl. measured GAN steps/sec.
     ``profile_dir`` wraps the adversarial phase in a ``jax.profiler`` trace
     (the reference has no profiling; SURVEY.md §5).
+
+    ``ckpt_format="orbax"`` writes ckpt_latest.orbax / ckpt_best.orbax instead
+    (SURVEY.md §5 "add periodic orbax checkpoints"); with ``async_ckpt`` the
+    device→host pull and write overlap the next training chunk. All loaders
+    (resume here, generate_long_synth, serve_synthesis) accept either format.
     """
     npz_path, out_dir = Path(npz_path), Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     hp = TimeGANHParams(**hparams)
+    if ckpt_format not in ("npz", "orbax"):
+        raise ValueError(f"ckpt_format must be 'npz' or 'orbax', got {ckpt_format!r}")
+    if async_ckpt and ckpt_format != "orbax":
+        raise ValueError("async_ckpt requires ckpt_format='orbax'")
+    ext = ".npz" if ckpt_format == "npz" else ".orbax"
 
     data = np.load(npz_path)
     X_host = data["X"].astype(np.float32)
@@ -398,7 +409,12 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
                         num_layers=hp.layers, dropout=hp.dropout)
 
     log_file = out_dir / "train_log.csv"
-    ckpt_latest = out_dir / "ckpt_latest.npz"
+    # resume accepts whichever format the previous run wrote, preferring the
+    # requested one; new checkpoints are written in the requested format
+    ckpt_latest = out_dir / f"ckpt_latest{ext}"
+    if resume and not ckpt_latest.exists():
+        found = ckpt_io.find_checkpoint(out_dir, "ckpt_latest")
+        ckpt_latest = found if found is not None else ckpt_latest
     resuming = resume and ckpt_latest.exists()
     write_artifacts = is_coordinator()  # multi-host: coordinator writes only
     if not resuming and write_artifacts:
@@ -453,8 +469,8 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
             ckpt_latest, {"model": params, "optG": g_state, "optD": d_state})
         params, g_state, d_state = trees["model"], trees["optG"], trees["optD"]
         start_step = int(ck_meta.get("step", 0))
-        best_path = out_dir / "ckpt_best.npz"
-        if best_path.exists():
+        best_path = ckpt_io.find_checkpoint(out_dir, "ckpt_best")
+        if best_path is not None:
             btrees, bmeta = ckpt_io.load_checkpoint(best_path, {"model": params})
             best_params = btrees["model"]
             best_loss = jnp.float32(bmeta.get("best_loss", np.inf))
@@ -474,7 +490,8 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
         if not write_artifacts:
             return
         ckpt_io.save_checkpoint(path, {"model": p, "optG": gstate_, "optD": dstate_},
-                                {**meta, "step": int(step), **(extra_meta or {})})
+                                {**meta, "step": int(step), **(extra_meta or {})},
+                                async_save=async_ckpt)
 
     prof = None
     if profile_dir is not None:
@@ -504,14 +521,15 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
         # every-500-step cadence (train_timegan.py:407): fire whenever a
         # 500 boundary was crossed, so a non-multiple --chunk still saves
         if done // 500 > (done - n_steps) // 500 or done == hp.gan_steps:
-            save(out_dir / "ckpt_latest.npz", params, d_state, g_state, done)
+            save(out_dir / f"ckpt_latest{ext}", params, d_state, g_state, done)
         # ckpt_best.pt semantics (train_timegan.py:410-413) without redundant
         # device→host pulls: only rewrite when the on-device best advanced
         bs = int(best_step)
         if bs != last_saved_best:
-            save(out_dir / "ckpt_best.npz", best_params, d_state, g_state,
+            save(out_dir / f"ckpt_best{ext}", best_params, d_state, g_state,
                  bs, {"best": True, "best_loss": float(best_loss)})
             last_saved_best = bs
+    ckpt_io.wait_for_saves()  # join any in-flight async orbax save
     gan_seconds = time.perf_counter() - t_start
     if prof is not None:
         prof.__exit__(None, None, None)

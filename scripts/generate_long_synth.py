@@ -56,10 +56,13 @@ def main():
         m = re.match(r"posture(\d+)_(with_exo|no_exo)$", rd.name)
         posture, cond = int(m.group(1)), m.group(2)
 
-        ckpt_best, ckpt_last = rd / "ckpt_best.npz", rd / "ckpt_latest.npz"
-        ckpt = (ckpt_last if args.prefer_latest and ckpt_last.exists()
-                else (ckpt_best if ckpt_best.exists() else ckpt_last))
-        if not ckpt.exists():
+        # either backend format per run dir (ckpt_*.npz or ckpt_*.orbax)
+        from eegsynth.train.checkpoint import find_checkpoint, load_meta
+        ckpt_best = find_checkpoint(rd, "ckpt_best")
+        ckpt_last = find_checkpoint(rd, "ckpt_latest")
+        ckpt = (ckpt_last if args.prefer_latest and ckpt_last is not None
+                else (ckpt_best if ckpt_best is not None else ckpt_last))
+        if ckpt is None:
             print(f"[SKIP] {rd.name}: no checkpoint found.")
             continue
 
@@ -67,9 +70,7 @@ def main():
         # carries x_dim/layers precisely so a converted/copied checkpoint can
         # generate without the real NPZ on hand (train/timegan.py meta note);
         # the real file only refines fs and supplies N default + denorm scalers.
-        import json
-        raw = np.load(ckpt)
-        meta = json.loads(bytes(raw["__meta__"]).decode("utf-8"))
+        meta = load_meta(ckpt)
 
         real = None
         N_real, T_train, C = None, None, int(meta.get("x_dim", 14))

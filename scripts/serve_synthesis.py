@@ -124,16 +124,19 @@ class ModelRegistry:
     def _load_timegan(self, runs_dir: Path, prefer_latest: bool):
         import jax
         from eegsynth.models.timegan import TimeGANConfig, timegan_init
-        from eegsynth.train.checkpoint import load_checkpoint, load_meta
+        from eegsynth.train.checkpoint import (
+            find_checkpoint, load_checkpoint, load_meta,
+        )
 
         real_dir = self.real_dir
         for rd in sorted(Path(runs_dir).iterdir()):
             if not (rd.is_dir() and re.match(r"posture\d+_(with_exo|no_exo)$", rd.name)):
                 continue
-            best, latest = rd / "ckpt_best.npz", rd / "ckpt_latest.npz"
-            ckpt = (latest if prefer_latest and latest.exists()
-                    else (best if best.exists() else latest))
-            if not ckpt.exists():
+            best = find_checkpoint(rd, "ckpt_best")       # .npz or .orbax
+            latest = find_checkpoint(rd, "ckpt_latest")
+            ckpt = (latest if prefer_latest and latest is not None
+                    else (best if best is not None else latest))
+            if ckpt is None:
                 continue
             meta = load_meta(ckpt)
             scale_min = scale_range = None

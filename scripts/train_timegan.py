@@ -59,6 +59,12 @@ def main():
                     help="shard the batch over all local devices (data parallel)")
     ap.add_argument("--multihost", action="store_true",
                     help="jax.distributed.initialize and span the whole slice")
+    ap.add_argument("--ckpt_format", choices=("npz", "orbax"), default="npz",
+                    help="checkpoint backend: flat-NPZ (reference-contract "
+                         "default) or an orbax directory per checkpoint")
+    ap.add_argument("--async_ckpt", action="store_true",
+                    help="orbax only: overlap checkpoint writes with training "
+                         "(device->host pull happens in the background)")
     for k, typ in CONFIG_KEYS.items():
         ap.add_argument(f"--{k}", type=typ, default=None)
     args = ap.parse_args()
@@ -92,6 +98,10 @@ def main():
         print(f"Data-parallel mesh: {dict(mesh.shape)}")
 
     if args.parallel_buckets:
+        if args.ckpt_format != "npz" or args.async_ckpt:
+            raise SystemExit("--ckpt_format/--async_ckpt apply to the "
+                             "sequential trainer only (the vmapped trainer "
+                             "writes NPZ at run end).")
         if args.resume:
             raise SystemExit("--resume is not supported with --parallel_buckets "
                              "(the vmapped trainer has no mid-run checkpoints); "
@@ -108,7 +118,8 @@ def main():
             run_dir = out_root / fp.stem
             print(f"\n=== Training {fp.name} → {run_dir} ===")
             train_single_npz(fp, run_dir, mesh=mesh, profile_dir=args.profile_dir,
-                             resume=args.resume, **hp)
+                             resume=args.resume, ckpt_format=args.ckpt_format,
+                             async_ckpt=args.async_ckpt, **hp)
 
     print("\nAll models trained. Checkpoints, logs, and synthetic data are under:", out_root)
 
