@@ -125,6 +125,8 @@ class CGANHParams:
     save_every: int = 100
     print_every: int = 20
     epochs_per_dispatch: int = 25  # epochs fused per device dispatch (TPU extra)
+    ckpt_format: str = "npz"     # full-state resume checkpoints: "npz" | "orbax"
+    async_ckpt: bool = False     # orbax only: overlap the checkpoint pull/write
     seed: int = 42
     variant: str = "v1"          # "v1" | "v2"
     arch: str = "conv"           # "conv" (reference parity) | "transformer" extra
@@ -426,6 +428,17 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
                 tag: str, label_base: int, resume: str = "", log=print,
                 mesh=None) -> dict:
     """Shared driver: tag is '{condition}' (v1) or 'posture{p}' (v2)."""
+    if hp.ckpt_format not in ("npz", "orbax"):
+        raise ValueError(f"ckpt_format must be 'npz' or 'orbax', got {hp.ckpt_format!r}")
+    if hp.async_ckpt and hp.ckpt_format != "orbax":
+        raise ValueError("async_ckpt requires ckpt_format='orbax'")
+    # Only the full-state resume checkpoints switch format: every
+    # generator/discriminator artifact keeps its reference-contract NPZ name
+    # (eval/serving/generate load those by name). The full state is the big
+    # pull (157 MB for the transformer arch — BASELINE.md: checkpoint pulls
+    # dominate short-run wall), and its only consumer is --resume, which
+    # auto-detects the format from the path suffix.
+    ckpt_ext = ".npz" if hp.ckpt_format == "npz" else ".orbax"
     write_artifacts = is_coordinator()  # multi-host: coordinator writes only
     save_dir.mkdir(parents=True, exist_ok=True)
     if write_artifacts:
@@ -544,16 +557,18 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
         if ep % hp.save_every == 0:
             if write_artifacts:
                 ckpt_io.save_checkpoint(
-                    save_dir / f"checkpoint_epoch{ep}.npz",
+                    save_dir / f"checkpoint_epoch{ep}{ckpt_ext}",
                     {"G": G, "bn": bn, "D": D, "ema": ema, "optG": g_state, "optD": d_state},
                     {"epoch": ep, "g_loss": g_loss, "d_loss": d_loss,
-                     "best_g": best_g, "tag": tag})
+                     "best_g": best_g, "tag": tag},
+                    async_save=hp.async_ckpt)
             save_generator(save_dir / f"CGAN_generator_{tag}_epoch{ep}.npz", G, bn)
             flush_best()
 
     flush_best()
     save_generator(save_dir / f"CGAN_generator_{tag}_last.npz",
                    ema if hp.ema else G, bn)
+    ckpt_io.wait_for_saves()  # join any in-flight async orbax save
     dt = time.perf_counter() - t0
     sps = (total_epochs - start_epoch) * steps / dt if dt > 0 else float("nan")
     log(f"[{tag}] Done. Best G loss: {best_g:.4f} ({sps:.2f} steps/s)")

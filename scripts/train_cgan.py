@@ -24,6 +24,7 @@ HP_FLAGS = {
     "fm_weight": float, "ema_decay": float, "lr_decay": float,
     "lr_decay_step": int, "save_every": int, "print_every": int, "epochs_per_dispatch": int, "seed": int,
     "arch": str, "tf_dim": int, "tf_depth": int, "tf_heads": int, "tf_patch": int,
+    "ckpt_format": str,  # full-state resume checkpoints: npz | orbax
 }
 
 
@@ -56,6 +57,9 @@ def get_args():
     p.add_argument("--amp-d", action="store_true", default=True,
                    help="no-op on TPU: the D step runs f32 without a scaler")
     p.add_argument("--resume", type=str, default="")
+    p.add_argument("--async-ckpt", dest="async_ckpt", action="store_true",
+                   help="orbax full-state checkpoints only (--ckpt-format "
+                        "orbax): overlap the device->host pull with training")
     p.add_argument("--mesh", action="store_true",
                    help="shard the batch over all local devices (data parallel)")
     p.add_argument("--multihost", action="store_true",
@@ -130,6 +134,8 @@ def main():
         hp["use_diffaugment"] = False
     hp["gan_loss"] = args.loss
     hp["gp_weight"] = args.gp_weight
+    if args.async_ckpt:
+        hp["async_ckpt"] = True
 
     from eegsynth.train.cgan import train_one_condition
     from eegsynth.train.sharding import mesh_from_flags

@@ -20,6 +20,7 @@ HP_FLAGS = {
     "amp_weight": float, "coh_pairs": int, "ema_decay": float,
     "save_every": int, "epochs_per_dispatch": int, "seed": int,
     "arch": str, "tf_dim": int, "tf_depth": int, "tf_heads": int, "tf_patch": int,
+    "ckpt_format": str,  # full-state resume checkpoints: npz | orbax
 }
 
 
@@ -40,6 +41,9 @@ def main():
                    help="no-op on TPU: the D step runs f32 without a scaler")
     p.add_argument("--no-ema", action="store_true")
     p.add_argument("--no-diffaugment", action="store_true")
+    p.add_argument("--async-ckpt", dest="async_ckpt", action="store_true",
+                   help="orbax full-state checkpoints only (--ckpt-format "
+                        "orbax): overlap the device->host pull with training")
     p.add_argument("--parallel-postures", "--parallel_postures",
                    dest="parallel_postures", action="store_true",
                    help="vmap all posture models into one training run (TPU extra)")
@@ -55,6 +59,8 @@ def main():
         hp["ema"] = False
     if args.no_diffaugment:
         hp["use_diffaugment"] = False
+    if args.async_ckpt:
+        hp["async_ckpt"] = True
 
     postures = range(1, 10) if args.posture == "all" else [int(args.posture)]
     # defensive SKIP for postures without both condition NPZs on disk (the
@@ -70,6 +76,10 @@ def main():
     if not postures:
         raise SystemExit("No postures with complete data to train.")
     if args.parallel_postures:
+        if hp.get("ckpt_format", "npz") != "npz" or args.async_ckpt:
+            raise SystemExit("--ckpt-format/--async-ckpt apply to the "
+                             "sequential trainer only (the vmapped trainer "
+                             "writes NPZ at run end).")
         from eegsynth.train.cgan_multi import train_all_postures
         from eegsynth.train.sharding import mesh_from_flags
         mesh = mesh_from_flags(args.mesh, args.multihost)

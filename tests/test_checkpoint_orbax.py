@@ -118,3 +118,45 @@ def test_train_orbax_end_to_end_and_resume(tmp_path):
     from eegsynth.train.timegan import synthesize
     x = synthesize(trees["model"], cfg, jax.random.key(1), n=3, seq_len=16)
     assert x.shape == (3, 16, 2) and np.isfinite(np.asarray(x)).all()
+
+
+def test_cgan_orbax_fullstate_resume(tmp_path):
+    """Only the full-state resume checkpoint switches to orbax; every
+    generator artifact keeps its reference-contract NPZ name."""
+    from eegsynth.train.cgan import train_one_condition
+
+    rng = np.random.default_rng(1)
+    data_dir = tmp_path / "prep"
+    data_dir.mkdir()
+    for p in range(1, 10):
+        np.savez_compressed(
+            data_dir / f"posture{p}_no_exo.npz",
+            X=rng.uniform(0, 1, (6, 768, 14)).astype(np.float32),
+            posture=np.int32(p), condition="no_exo", fs=np.float32(128.0),
+            ch_names=np.array([f"ch{i}" for i in range(14)], dtype=object),
+            scale_min=np.zeros(14, np.float32),
+            scale_range=np.ones(14, np.float32))
+    tiny = dict(arch="transformer", tf_dim=32, tf_depth=1, tf_heads=2,
+                tf_patch=8, batch_size=8, save_every=2, print_every=10,
+                use_diffaugment=False, r1_gamma=0.0)
+
+    run_dir = tmp_path / "runs" / "no_exo"
+    with pytest.raises(ValueError, match="async_ckpt requires"):
+        train_one_condition(data_dir, tmp_path / "bad", "no_exo", epochs=1,
+                            async_ckpt=True, **tiny)
+    train_one_condition(data_dir, tmp_path / "runs", "no_exo", epochs=2,
+                        ckpt_format="orbax", async_ckpt=True,
+                        log=lambda *a: None, **tiny)
+    ckpt = run_dir / "checkpoint_epoch2.orbax"
+    assert ckpt.is_dir()
+    assert (run_dir / "CGAN_generator_no_exo_best.npz").is_file()  # NPZ kept
+    rows1 = (run_dir / "metrics.csv").read_text().strip().split("\n")
+
+    res = train_one_condition(data_dir, tmp_path / "runs", "no_exo", epochs=4,
+                              ckpt_format="orbax", resume=str(ckpt),
+                              log=lambda *a: None, **tiny)
+    rows2 = (run_dir / "metrics.csv").read_text().strip().split("\n")
+    assert rows2[:3] == rows1
+    assert [r.split(",")[0] for r in rows2[3:]] == ["3", "4"]
+    assert np.isfinite(res["best_g"])
+    assert (run_dir / "checkpoint_epoch4.orbax").is_dir()
