@@ -557,18 +557,19 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
 @jax.jit
 def _synth_run(p, z):
     _, x_hat = fused_gen_refine(p, z, with_decode=True)
-    return x_hat
+    return x_hat.astype(jnp.float32)  # no-op at f32; bf16 returns f32 to callers
 
 
 @jax.jit
 def _synth_step(p, z, carry):
     carry, (_, x_hat) = fused_gen_refine_carry(p, z, carry, with_decode=True)
-    return x_hat, carry
+    return x_hat.astype(jnp.float32), carry
 
 
 def synthesize(params, cfg: TimeGANConfig, key, n: int, seq_len: int,
                batch: int | None = None,
-               time_chunk: int | None = None):
+               time_chunk: int | None = None,
+               precision: str = "f32"):
     """Z → decode(refine(gen(Z))) (train_timegan.py:416-419;
     generate_long_synth.py:117-121). Static shape per (n, seq_len).
 
@@ -588,24 +589,37 @@ def synthesize(params, cfg: TimeGANConfig, key, n: int, seq_len: int,
     noise keys are split per micro-batch and per time chunk, so the same seed
     reproduces outputs only for identical (n, seq_len, batch, time_chunk) —
     requests of different sizes draw different noise. Falls back to one-shot
-    for multi-layer stacks (not the reference configuration)."""
+    for multi-layer stacks (not the reference configuration).
+
+    ``precision="bf16"`` runs the cascade in bfloat16 (master params stay f32;
+    noise is drawn in f32 then cast, so the sample grid matches the reference
+    torch.rand source; outputs return in f32). The cascade is HBM-bound at
+    synthesis batches — see BASELINE.md for the measured speedup — and bf16's
+    f32 exponent range keeps the bounded GRU recurrence stable; quality parity
+    is verified in tests/test_precision.py and QUALITY.md."""
     from eegsynth.models.timegan import _fusable, cascade_init_carry
+    from eegsynth.nn.precision import cast_floating, compute_dtype
+
+    dtype = compute_dtype(precision)
+    if dtype != jnp.float32:
+        params = cast_floating(params, dtype)
+    cast = (lambda z: z.astype(dtype)) if dtype != jnp.float32 else (lambda z: z)
 
     chunked = (time_chunk is not None and time_chunk < seq_len
                and _fusable(params))
     if not chunked:
         run_batch = lambda p, k, b: _synth_run(
-            p, sample_noise(k, b, seq_len, cfg.z_dim))
+            p, cast(sample_noise(k, b, seq_len, cfg.z_dim)))
     else:
         def run_batch(p, k, b):
             # chunk outputs land on HOST so device memory stays bounded at one
             # (b, time_chunk, C) buffer regardless of seq_len
-            carry = cascade_init_carry(p, b)
+            carry = cascade_init_carry(p, b, dtype)
             pieces = []
             for t0 in range(0, seq_len, time_chunk):
                 k, sub = jax.random.split(k)
                 z = sample_noise(sub, b, time_chunk, cfg.z_dim)  # static shape
-                x, carry = _synth_step(p, z, carry)
+                x, carry = _synth_step(p, cast(z), carry)
                 pieces.append(np.asarray(x[:, :min(time_chunk, seq_len - t0)]))
             return np.concatenate(pieces, axis=1)
 

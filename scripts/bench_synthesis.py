@@ -18,25 +18,29 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def bench_timegan(batch: int, iters: int, T: int = 768, C: int = 14) -> float:
+def bench_timegan(batch: int, iters: int, T: int = 768, C: int = 14,
+                  precision: str = "f32") -> float:
     import jax
     import jax.numpy as jnp
     from eegsynth.models.timegan import (
         TimeGANConfig, adaptive_dims, fused_gen_refine, sample_noise, timegan_init,
     )
+    from eegsynth.nn.precision import cast_floating, compute_dtype
 
     z_dim, h_dim = adaptive_dims(C, T)
     cfg = TimeGANConfig(x_dim=C, z_dim=z_dim, h_dim=h_dim)
-    params = timegan_init(jax.random.key(0), cfg)
-    z0 = sample_noise(jax.random.key(1), batch, T, cfg.z_dim)
+    dtype = compute_dtype(precision)
+    params = cast_floating(timegan_init(jax.random.key(0), cfg), dtype)
+    z0 = sample_noise(jax.random.key(1), batch, T, cfg.z_dim).astype(dtype)
 
     @jax.jit
     def run(params, z, k):
         def body(i, carry):
             z, acc = carry
             _, x = fused_gen_refine(params, z, with_decode=True)
-            s = jnp.mean(x)                       # depends on the whole output
-            z = z * 0.999 + 1e-4 * s              # next input depends on output
+            s = jnp.mean(x.astype(jnp.float32))   # depends on the whole output
+            # next input depends on output; cast keeps the carry dtype stable
+            z = z * 0.999 + (1e-4 * s).astype(z.dtype)
             return (z, acc + s)
         _, acc = jax.lax.fori_loop(0, k, body, (z, jnp.float32(0.0)))
         return acc
@@ -84,12 +88,16 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--model", type=str, default="both",
                     choices=["timegan", "cgan", "both"])
+    ap.add_argument("--precision", type=str, default="f32",
+                    choices=["f32", "bf16"],
+                    help="TimeGAN cascade compute precision (cgan bench is f32)")
     args = ap.parse_args()
 
     for b in args.batch:
         if args.model in ("timegan", "both"):
-            w = bench_timegan(b, args.iters)
-            print(f"timegan synth  batch={b:5d}: {w:,.0f} windows/s", flush=True)
+            w = bench_timegan(b, args.iters, precision=args.precision)
+            print(f"timegan synth  batch={b:5d} {args.precision}: "
+                  f"{w:,.0f} windows/s", flush=True)
         if args.model in ("cgan", "both"):
             w = bench_cgan(b, args.iters)
             print(f"cgan   synth  batch={b:5d}: {w:,.0f} windows/s", flush=True)

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--batch", type=int, default=None,
                     help="Optional synthesis micro-batch (memory cap for huge N·T)")
+    ap.add_argument("--precision", type=str, default="f32",
+                    choices=["f32", "bf16"],
+                    help="bf16 runs the fused cascade in bfloat16 (f32 master "
+                         "weights, f32 outputs) — HBM-bound synthesis speedup")
     ap.add_argument("--time_chunk", type=int, default=None,
                     help="Stream the sequence axis in fixed chunks, carrying "
                          "GRU state — one compiled executable for any length")
@@ -117,7 +121,8 @@ def main():
 
         key, sub = jax.random.split(key)
         Xh = np.asarray(synthesize(params, cfg, sub, N_out, T_out,
-                                   batch=args.batch, time_chunk=args.time_chunk),
+                                   batch=args.batch, time_chunk=args.time_chunk,
+                                   precision=args.precision),
                         dtype=np.float32)
 
         if (args.denorm and real is not None

@@ -162,7 +162,8 @@ class ModelRegistry:
             }
 
     def synthesize(self, run: str, n: int, seq_len: int, seed: int,
-                   denorm: bool, serve_batch: int, time_chunk: int) -> np.ndarray:
+                   denorm: bool, serve_batch: int, time_chunk: int,
+                   precision: str = "f32") -> np.ndarray:
         import jax
         from eegsynth.train.timegan import synthesize
 
@@ -176,14 +177,16 @@ class ModelRegistry:
         X = np.asarray(
             synthesize(m["params"], m["cfg"], jax.random.key(seed), nb, tb,
                        batch=serve_batch if nb > serve_batch else None,
-                       time_chunk=time_chunk if tb > time_chunk else None),
+                       time_chunk=time_chunk if tb > time_chunk else None,
+                       precision=precision),
             dtype=np.float32)[:n, :seq_len]
         if denorm and m["scale_min"] is not None:
             X = X * m["scale_range"][None, None, :] + m["scale_min"][None, None, :]
         return X
 
 
-def make_handler(reg: ModelRegistry, serve_batch: int, time_chunk: int):
+def make_handler(reg: ModelRegistry, serve_batch: int, time_chunk: int,
+                 precision: str = "f32"):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet access log to stdout
             print(f"[serve] {args[0] if args else ''}", flush=True)
@@ -270,7 +273,7 @@ def make_handler(reg: ModelRegistry, serve_batch: int, time_chunk: int):
                                      "(split into multiple requests)"})
                     X = reg.synthesize(run, n, seq_len, int(req.get("seed", 0)),
                                        bool(req.get("denorm", False)),
-                                       serve_batch, time_chunk)
+                                       serve_batch, time_chunk, precision)
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 return self._json(400, {"error": str(e)})
             if req.get("format", "npz") == "json":
@@ -305,6 +308,10 @@ def main():
                     help="fixed compiled batch; requests are padded/micro-batched")
     ap.add_argument("--time_chunk", type=int, default=768,
                     help="fixed compiled sequence chunk for long requests")
+    ap.add_argument("--precision", type=str, default="f32",
+                    choices=["f32", "bf16"],
+                    help="TimeGAN serving compute precision: bf16 runs the "
+                         "fused cascade in bfloat16 (f32 weights/outputs)")
     ap.add_argument("--warmup", action="store_true",
                     help="pre-compile the serving shape for every run at startup")
     args = ap.parse_args()
@@ -320,17 +327,18 @@ def main():
             # the chunked carry executable (seq_len > time_chunk) once — the
             # jitted fns are shared, so one compile covers all models
             reg.synthesize(name, 1, args.time_chunk, 0, False,
-                           args.serve_batch, args.time_chunk)
+                           args.serve_batch, args.time_chunk, args.precision)
             if i == 0:
                 reg.synthesize(name, 1, 2 * args.time_chunk, 0, False,
-                               args.serve_batch, args.time_chunk)
+                               args.serve_batch, args.time_chunk, args.precision)
             print(f"[serve] warmed {name}", flush=True)
         for tag in reg.cgan:
             reg.synthesize_cgan(tag, 0, 1, 0, False, args.serve_batch)
             print(f"[serve] warmed cgan {tag}", flush=True)
 
     srv = HTTPServer((args.host, args.port),
-                     make_handler(reg, args.serve_batch, args.time_chunk))
+                     make_handler(reg, args.serve_batch, args.time_chunk,
+                                  args.precision))
     print(f"[serve] listening on http://{args.host}:{args.port}", flush=True)
     srv.serve_forever()
 
