@@ -569,7 +569,8 @@ def _synth_step(p, z, carry):
 def synthesize(params, cfg: TimeGANConfig, key, n: int, seq_len: int,
                batch: int | None = None,
                time_chunk: int | None = None,
-               precision: str = "f32"):
+               precision: str = "f32",
+               mesh=None):
     """Z → decode(refine(gen(Z))) (train_timegan.py:416-419;
     generate_long_synth.py:117-121). Static shape per (n, seq_len).
 
@@ -596,7 +597,15 @@ def synthesize(params, cfg: TimeGANConfig, key, n: int, seq_len: int,
     torch.rand source; outputs return in f32). The cascade is HBM-bound at
     synthesis batches — see BASELINE.md for the measured speedup — and bf16's
     f32 exponent range keeps the bounded GRU recurrence stable; quality parity
-    is verified in tests/test_precision.py and QUALITY.md."""
+    is verified in tests/test_precision.py and QUALITY.md.
+
+    ``mesh`` shards the batch axis over the mesh's devices (params replicated,
+    noise split on the leading dim; GSPMD partitions the scan — per-window
+    GRU chains are independent, so no collectives are inserted). Dispatch
+    batches round up to a device-count multiple and slice back, so any ``n``
+    works. This is SURVEY §5's "batch sharded across devices" long-sequence
+    plan item; equivalence to the unsharded path is tested on an 8-device
+    CPU mesh (tests/test_precision.py)."""
     from eegsynth.models.timegan import _fusable, cascade_init_carry
     from eegsynth.nn.precision import cast_floating, compute_dtype
 
@@ -604,6 +613,17 @@ def synthesize(params, cfg: TimeGANConfig, key, n: int, seq_len: int,
     if dtype != jnp.float32:
         params = cast_floating(params, dtype)
     cast = (lambda z: z.astype(dtype)) if dtype != jnp.float32 else (lambda z: z)
+
+    ndev = 1
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        axis = mesh.axis_names[0]
+        ndev = int(mesh.devices.size)
+        params = jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
+        _zs = NamedSharding(mesh, PartitionSpec(axis))  # leading dim split
+        shard = lambda t: jax.device_put(t, _zs)
+        cast_ = cast
+        cast = lambda z: shard(cast_(z))
 
     chunked = (time_chunk is not None and time_chunk < seq_len
                and _fusable(params))
@@ -615,6 +635,8 @@ def synthesize(params, cfg: TimeGANConfig, key, n: int, seq_len: int,
             # chunk outputs land on HOST so device memory stays bounded at one
             # (b, time_chunk, C) buffer regardless of seq_len
             carry = cascade_init_carry(p, b, dtype)
+            if mesh is not None:
+                carry = jax.device_put(carry, _zs)
             pieces = []
             for t0 in range(0, seq_len, time_chunk):
                 k, sub = jax.random.split(k)
@@ -624,7 +646,10 @@ def synthesize(params, cfg: TimeGANConfig, key, n: int, seq_len: int,
             return np.concatenate(pieces, axis=1)
 
     if batch is None or batch >= n:
-        return run_batch(params, key, n)
+        b = -(-n // ndev) * ndev           # round up so the batch dim shards
+        out = run_batch(params, key, b)
+        return out[:n] if b != n else out
+    batch = -(-batch // ndev) * ndev
     pieces = []
     for i in range(0, n, batch):
         key, sub = jax.random.split(key)

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--batch", type=int, default=None,
                     help="Optional synthesis micro-batch (memory cap for huge N·T)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard the synthesis batch over all local devices "
+                         "(params replicated; per-window GRU chains are "
+                         "independent, so sharding is communication-free)")
     ap.add_argument("--precision", type=str, default="f32",
                     choices=["f32", "bf16"],
                     help="bf16 runs the fused cascade in bfloat16 (f32 master "
@@ -44,7 +48,10 @@ def main():
     import jax
     from eegsynth.models.timegan import TimeGANConfig, timegan_init
     from eegsynth.train.checkpoint import load_checkpoint
+    from eegsynth.train.sharding import mesh_from_flags
     from eegsynth.train.timegan import synthesize
+
+    mesh = mesh_from_flags(args.mesh)
 
     runs_root = Path(args.runs_dir)
     real_root = Path(args.real_dir)
@@ -122,7 +129,7 @@ def main():
         key, sub = jax.random.split(key)
         Xh = np.asarray(synthesize(params, cfg, sub, N_out, T_out,
                                    batch=args.batch, time_chunk=args.time_chunk,
-                                   precision=args.precision),
+                                   precision=args.precision, mesh=mesh),
                         dtype=np.float32)
 
         if (args.denorm and real is not None

@@ -60,3 +60,27 @@ def test_synthesize_bf16_chunked_and_microbatched():
                     batch=8, time_chunk=16, precision="bf16")
     assert x.shape == (12, 48, 4) and np.isfinite(x).all()
     np.testing.assert_array_equal(x, x2)    # deterministic per (args, seed)
+
+
+def test_synthesize_mesh_matches_single_device():
+    """SURVEY §5 long-sequence plan: batch sharded across devices. Per-window
+    GRU chains are independent, so the 8-way sharded run must reproduce the
+    single-device output (same host-drawn noise, same params)."""
+    from eegsynth.train.sharding import data_mesh
+
+    params = timegan_init(jax.random.key(2), CFG)
+    key = jax.random.key(9)
+    ref = np.asarray(synthesize(params, CFG, key, n=16, seq_len=32))
+    got = np.asarray(synthesize(params, CFG, key, n=16, seq_len=32,
+                                mesh=data_mesh()))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+
+    # n not divisible by the device count: pads the dispatch, slices back
+    odd = np.asarray(synthesize(params, CFG, key, n=11, seq_len=32,
+                                mesh=data_mesh()))
+    assert odd.shape == (11, 32, 4) and np.isfinite(odd).all()
+
+    # composes with bf16 + micro-batching + time streaming
+    x = synthesize(params, CFG, key, n=12, seq_len=48, batch=6, time_chunk=16,
+                   precision="bf16", mesh=data_mesh())
+    assert x.shape == (12, 48, 4) and np.isfinite(np.asarray(x)).all()
