@@ -16,12 +16,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
 from serve_synthesis import ModelRegistry, make_handler
 
 
-@pytest.fixture(scope="module")
-def served(tmp_path_factory):
+def _build_registry(root):
     from eegsynth.models.timegan import TimeGANConfig, timegan_init
     from eegsynth.train.checkpoint import save_checkpoint
-
-    root = tmp_path_factory.mktemp("serve")
     runs = root / "runs"
     real = root / "real"
     (runs / "posture1_no_exo").mkdir(parents=True)
@@ -51,7 +48,12 @@ def served(tmp_path_factory):
     save_checkpoint(cgan_root / "no_exo" / "CGAN_generator_no_exo_best.npz",
                     {"model": G, "bn": bn}, generator_meta(chp, 9, "no_exo"))
 
-    reg = ModelRegistry(runs, real, cgan_root=cgan_root)
+    return ModelRegistry(runs, real, cgan_root=cgan_root)
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    reg = _build_registry(tmp_path_factory.mktemp("serve"))
     srv = HTTPServer(("127.0.0.1", 0), make_handler(reg, serve_batch=4, time_chunk=16))
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -151,3 +153,29 @@ def test_cgan_request_size_cap(served):
     status, _, data = _request(served, "POST", "/synthesize_cgan",
                                {"model": "no_exo", "label": 0, "n": 5462})
     assert status == 400 and "padded" in json.loads(data)["error"]
+
+
+def test_serve_bf16_precision(tmp_path_factory):
+    """--precision bf16 server: same request returns f32 payloads that track
+    an f32 server's output closely (both registries share RNG seeds)."""
+    reg = _build_registry(tmp_path_factory.mktemp("serve_bf16"))
+    outs = {}
+    for prec in ("f32", "bf16"):
+        srv = HTTPServer(("127.0.0.1", 0),
+                         make_handler(reg, serve_batch=4, time_chunk=16,
+                                      precision=prec))
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            status, ctype, data = _request(
+                srv.server_address, "POST", "/synthesize",
+                {"run": "posture1_no_exo", "n": 3, "seq_len": 20, "seed": 1,
+                 "format": "json"})
+        finally:
+            srv.shutdown()
+        assert status == 200, data
+        outs[prec] = np.asarray(json.loads(data)["X"], dtype=np.float32)
+    assert outs["bf16"].shape == outs["f32"].shape == (3, 20, 3)
+    assert np.isfinite(outs["bf16"]).all()
+    corr = np.corrcoef(outs["f32"].ravel(), outs["bf16"].ravel())[0, 1]
+    assert corr > 0.999, corr
