@@ -105,7 +105,11 @@ class CGANHParams:
     proj_scale: float = 0.25     # v2: 0.10
     acgan_weight: float = 1.5    # v2: 1.25
     g_acgan_weight: float = 2.0  # v2: 1.5
-    r1_gamma: float = 0.5
+    # None → auto: 0.5 (reference cgan.py:63 default, hinge/bce) but 0.0 for
+    # wgan-gp — GP already regularizes the critic's gradient norm toward 1,
+    # and composing it with R1 (norm toward 0 at real data) gives the critic
+    # two contradictory targets. An explicit value always wins.
+    r1_gamma: float | None = None
     r1_every: int = 8
     inst_noise_start: float = 0.20
     inst_noise_end: float = 0.02  # v2: 0.06
@@ -136,6 +140,12 @@ class CGANHParams:
     tf_depth: int = 4
     tf_heads: int = 4
     tf_patch: int = 8
+
+    def __post_init__(self):
+        if self.r1_gamma is None:
+            object.__setattr__(
+                self, "r1_gamma",
+                0.0 if self.gan_loss == "wgan-gp" else 0.5)
 
 
 V2_OVERRIDES = dict(epochs=600, prewarm=5, lr_g=6e-4, lr_d=8e-5, proj_scale=0.10,

@@ -39,13 +39,15 @@ def is_orbax_path(path: Path | str) -> bool:
 
 
 def find_checkpoint(run_dir: Path | str, stem: str) -> Path | None:
-    """First existing checkpoint named ``stem`` in either backend format
-    (NPZ preferred — the reference-parity artifact)."""
-    for suffix in (".npz", _ORBAX_SUFFIX):
-        p = Path(run_dir) / (stem + suffix)
-        if p.exists():
-            return p
-    return None
+    """Existing checkpoint named ``stem`` in either backend format. When both
+    formats exist (e.g. a run first trained with NPZ checkpoints and then
+    resumed with ``--ckpt_format orbax``), the most recently written one wins
+    — returning a fixed format would silently serve stale weights."""
+    cands = [p for suffix in (".npz", _ORBAX_SUFFIX)
+             if (p := Path(run_dir) / (stem + suffix)).exists()]
+    if not cands:
+        return None
+    return max(cands, key=lambda p: p.stat().st_mtime)
 
 
 def _orbax(async_save: bool):

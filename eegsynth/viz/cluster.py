@@ -176,6 +176,12 @@ def zoom_pair_figures(X, P, D, C, colors, p, cond, out_dir,
         pca2 = np.concatenate([pca2, np.zeros((n, 2 - pca2.shape[1]))], axis=1)
     save(pca2, "pca", f"ZOOM PCA: P{p} – {cond} (●R, ×G)")
 
+    if n < 2:  # t-SNE needs ≥2 samples (sklearn requires perplexity < n);
+        # emit the tsne artifact from the padded PCA embedding so the
+        # zoom_p{p}_{cond}_{pca,tsne}.png file contract still holds
+        save(pca2, "tsne", f"ZOOM t-SNE: P{p} – {cond} (●R, ×G)")
+        return True
+
     K = min(pca_keep, Xs.shape[1], max(2, n - 1))
     Xred = PCA(n_components=K, random_state=seed).fit_transform(Xs)
     # reference safe-perplexity formula, plus sklearn's hard bound perp < n
@@ -184,6 +190,26 @@ def zoom_pair_figures(X, P, D, C, colors, p, cond, out_dir,
                random_state=seed).fit_transform(Xred)
     save(ts2, "tsne", f"ZOOM t-SNE: P{p} – {cond} (●R, ×G)")
     return True
+
+
+def tsne_embed(X, seed: int, pca_keep: int = 50, perplexity: float = 30.0):
+    """PCA-reduce to ≤``pca_keep`` dims then t-SNE to 2-D (the shared tail of
+    every cluster-figure flow, visualization.py:142-150 /
+    visualization_36_clusters_zoom.py:318-326), with the clamps the reference
+    omits: K ≤ n−1/dims (PCA validity), perplexity < n (sklearn hard bound),
+    and the legacy-sklearn fallback for ``learning_rate="auto"``."""
+    from sklearn.decomposition import PCA
+    from sklearn.manifold import TSNE
+
+    n = len(X)
+    K = min(pca_keep, X.shape[1], max(2, n - 1))
+    Xred = PCA(n_components=K, random_state=seed).fit_transform(X)
+    kw = dict(n_components=2, perplexity=min(perplexity, max(1, n - 1)),
+              init="pca", random_state=seed)
+    try:
+        return TSNE(learning_rate="auto", **kw).fit_transform(Xred)
+    except TypeError:  # older sklearn without learning_rate="auto"
+        return TSNE(learning_rate=200.0, **kw).fit_transform(Xred)
 
 
 def save_legend_png(handles_labels, out_path, ncols=4):
@@ -216,7 +242,6 @@ def cluster_figures(pairs: dict, out_dir, color_scheme: str = "36", seed: int = 
     """
     plt = _plt()
     from sklearn.decomposition import PCA
-    from sklearn.manifold import TSNE
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -259,10 +284,7 @@ def cluster_figures(pairs: dict, out_dir, color_scheme: str = "36", seed: int = 
              "Combined PCA: Posture×Condition (● Real, × Gen)")
 
     Xb, Pb, Db, Cb = balanced_subsample(X, P, D, C, max_total=tsne_max, seed=seed)
-    K = min(pca_keep, Xb.shape[1], max(2, Xb.shape[0] - 1))
-    Xred = PCA(n_components=K, random_state=seed).fit_transform(Xb)
-    ts2 = TSNE(n_components=2, perplexity=tsne_perplexity, init="pca",
-               random_state=seed).fit_transform(Xred)
+    ts2 = tsne_embed(Xb, seed, pca_keep=pca_keep, perplexity=tsne_perplexity)
     one_plot(ts2, Pb, Db, Cb, "tsne_combined",
              "Combined t-SNE: Posture×Condition (● Real, × Gen)")
 

@@ -50,10 +50,12 @@ def get_args():
                    help="EMA generator (always on; disable with --no-ema)")
     p.add_argument("--use-diffaugment", action="store_true", default=True,
                    help="DiffAugment-1D (always on; disable with --no-diffaugment)")
-    p.add_argument("--loss", type=str, default="hinge",
-                   choices=["hinge", "wgan-gp", "bce"])
-    p.add_argument("--gp-weight", type=float, default=10.0,
-                   help="gradient-penalty weight (wgan-gp loss only)")
+    p.add_argument("--loss", type=str, default=None,
+                   choices=["hinge", "wgan-gp", "bce"],
+                   help="default: config gan_loss key, else hinge")
+    p.add_argument("--gp-weight", type=float, default=None,
+                   help="gradient-penalty weight (wgan-gp loss only; "
+                        "default: config gp_weight key, else 10.0)")
     p.add_argument("--amp-d", action="store_true", default=True,
                    help="no-op on TPU: the D step runs f32 without a scaler")
     p.add_argument("--resume", type=str, default="")
@@ -132,8 +134,14 @@ def main():
         hp["ema"] = False
     if args.no_diffaugment:
         hp["use_diffaugment"] = False
-    hp["gan_loss"] = args.loss
-    hp["gp_weight"] = args.gp_weight
+    # same flag-over-config precedence as the HP_FLAGS loop (these two keep
+    # the reference's flag spellings --loss/--gp-weight, cgan.py:48,84)
+    for k, typ, flag in (("gan_loss", str, args.loss),
+                         ("gp_weight", float, args.gp_weight)):
+        if flag is not None:
+            hp[k] = flag
+        elif k in cfg:
+            hp[k] = typ(cfg[k])
     if args.async_ckpt:
         hp["async_ckpt"] = True
 

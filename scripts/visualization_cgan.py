@@ -47,14 +47,13 @@ def main():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     from sklearn.decomposition import PCA
-    from sklearn.manifold import TSNE
 
     from eegsynth.data.datasets import load_posture_both_conditions
     from eegsynth.eval.features import psd_features
     from eegsynth.train.cgan import generate_batch, load_generator
     from eegsynth.viz.cluster import (
-        add_paired_legend, make_palette, scatter_clusters, zoom_pair_figures,
-        zscore,
+        add_paired_legend, make_palette, scatter_clusters, tsne_embed,
+        zoom_pair_figures, zscore,
     )
 
     np.random.seed(args.seed)
@@ -120,15 +119,7 @@ def main():
     pca2 = PCA(n_components=2, random_state=args.seed).fit_transform(X)
     one_plot(pca2, "pca_36", "PCA: 9 Postures × 2 Conditions × {Real, Synthetic}")
 
-    K = min(50, X.shape[1] - 1, max(2, X.shape[0] - 1))
-    X50 = PCA(n_components=K, random_state=args.seed).fit_transform(X)
-    perp = min(args.tsne_perplexity, max(1, len(X50) - 1))
-    try:
-        Z = TSNE(n_components=2, perplexity=perp, init="pca",
-                 learning_rate="auto", random_state=args.seed).fit_transform(X50)
-    except TypeError:  # legacy sklearn without learning_rate="auto"
-        Z = TSNE(n_components=2, perplexity=perp, init="pca",
-                 learning_rate=200.0, random_state=args.seed).fit_transform(X50)
+    Z = tsne_embed(X, args.seed, pca_keep=50, perplexity=args.tsne_perplexity)
     one_plot(Z, "tsne_36", "t-SNE: 9 Postures × 2 Conditions × {Real, Synthetic}")
 
     if not args.no_zooms:

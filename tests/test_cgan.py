@@ -320,3 +320,15 @@ def test_cgan_alternative_losses_train(gan_loss):
              zip(jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, D)),
                  jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, D2))))
     assert gd > 0 and dd > 0
+
+
+def test_r1_gamma_auto_default():
+    """R1 defaults off under wgan-gp (GP pushes the critic's gradient norm
+    to 1, R1 pushes it to 0 at real data — contradictory targets); explicit
+    values always win; hinge/bce keep the reference's 0.5 default."""
+    from eegsynth.train.cgan import CGANHParams
+    assert CGANHParams().r1_gamma == 0.5
+    assert CGANHParams(gan_loss="bce").r1_gamma == 0.5
+    assert CGANHParams(gan_loss="wgan-gp").r1_gamma == 0.0
+    assert CGANHParams(gan_loss="wgan-gp", r1_gamma=0.3).r1_gamma == 0.3
+    assert CGANHParams(gan_loss="hinge", r1_gamma=0.0).r1_gamma == 0.0

@@ -160,3 +160,26 @@ def test_cgan_orbax_fullstate_resume(tmp_path):
     assert [r.split(",")[0] for r in rows2[3:]] == ["3", "4"]
     assert np.isfinite(res["best_g"])
     assert (run_dir / "checkpoint_epoch4.orbax").is_dir()
+
+
+def test_find_checkpoint_prefers_newest(tmp_path):
+    """When both backend formats exist for one stem (e.g. a run resumed with
+    a different --ckpt_format), the most recently written checkpoint wins —
+    a fixed preference would silently serve stale weights."""
+    import os
+    import time
+
+    from eegsynth.train import checkpoint as ckpt_io
+
+    trees = {"model": {"w": np.ones(3, np.float32)}}
+    npz = tmp_path / "ckpt_best.npz"
+    orb = tmp_path / "ckpt_best.orbax"
+    ckpt_io.save_checkpoint(npz, trees, {"v": 1})
+    ckpt_io.save_checkpoint(orb, trees, {"v": 2})
+    now = time.time()
+    os.utime(npz, (now - 100, now - 100))
+    os.utime(orb, (now, now))
+    assert ckpt_io.find_checkpoint(tmp_path, "ckpt_best") == orb
+    os.utime(npz, (now + 100, now + 100))
+    assert ckpt_io.find_checkpoint(tmp_path, "ckpt_best") == npz
+    assert ckpt_io.find_checkpoint(tmp_path, "nope") is None

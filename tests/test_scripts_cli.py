@@ -202,6 +202,11 @@ def test_cgan_cli_reference_flag_surface(monkeypatch):
     for loss in ("hinge", "bce", "wgan-gp"):
         monkeypatch.setattr(sys, "argv", ["train_cgan.py", "--loss", loss])
         assert mod.get_args().loss == loss
+    # unset flags parse to None so --config gan_loss/gp_weight keys can take
+    # effect (flags override config, config overrides defaults)
+    monkeypatch.setattr(sys, "argv", ["train_cgan.py"])
+    a = mod.get_args()
+    assert a.loss is None and a.gp_weight is None
 
 
 def test_visualization_cgan_cli(tmp_path, monkeypatch):

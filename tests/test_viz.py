@@ -143,3 +143,28 @@ def test_cluster_id_dark_posture():
     assert cluster_id(3, "with_exo", 1, "36", dark_posture=2) == 8
     assert cluster_id(2, "no_exo", 1, "18", dark_posture=2) == 1
     assert cluster_id(2, "no_exo", 1, "18") == 3
+
+
+def test_zoom_single_sample_subset(tmp_path, rng):
+    """A 1-window (posture, condition) subset must still emit BOTH zoom
+    figures: PCA pads the embedding and the t-SNE leg (which sklearn refuses
+    for n < 2) reuses it, preserving the zoom_p{p}_{cond}_{pca,tsne}.png
+    artifact contract instead of crashing the whole --zooms run."""
+    pairs = {
+        (1, "no_exo"): (rng.normal(size=(1, 16, 3)).astype(np.float32),
+                        np.zeros((0, 16, 3), np.float32)),
+        (2, "no_exo"): (rng.normal(size=(8, 16, 3)).astype(np.float32),
+                        rng.normal(size=(8, 16, 3)).astype(np.float32)),
+    }
+    cluster_figures(pairs, tmp_path, tsne_perplexity=5.0, zooms=True)
+    for p in (1, 2):
+        assert (tmp_path / f"zoom_p{p}_no_exo_pca.png").exists()
+        assert (tmp_path / f"zoom_p{p}_no_exo_tsne.png").exists()
+
+
+def test_tsne_embed_clamps_tiny_inputs(rng):
+    """tsne_embed clamps K ≤ n−1 and perplexity < n, so inputs smaller than
+    the default perplexity (30) embed instead of raising."""
+    from eegsynth.viz.cluster import tsne_embed
+    Z = tsne_embed(rng.normal(size=(4, 10)), seed=0, perplexity=30.0)
+    assert Z.shape == (4, 2) and np.isfinite(Z).all()
