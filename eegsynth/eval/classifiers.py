@@ -69,8 +69,7 @@ def _pad_rows(arrs, floor: int = 64):
     return (*out, w)
 
 
-@partial(jax.jit, static_argnames=("epochs", "lr", "classify"))
-def _train_full_batch(params, X, y, w, epochs: int, lr: float, classify: bool):
+def _train_core(params, X, y, w, epochs: int, lr: float, classify: bool):
     opt = optax.adam(lr)
     state = opt.init(params)
     wc = w[:, None]
@@ -95,52 +94,110 @@ def _train_full_batch(params, X, y, w, epochs: int, lr: float, classify: bool):
     return params, losses
 
 
-@jax.jit
-def _infer_last(params, X):
-    return _forward_last(params, X)
+@partial(jax.jit, static_argnames=("epochs", "lr", "classify"))
+def _train_infer_many(params, X, y, w, Xq, epochs: int, lr: float, classify: bool):
+    """Train a stack of independent scorers and score their test sets in ONE
+    dispatch. The reference trains each pair's scorer in its own loop
+    (evaluate_18.py:179-233); here every pair whose padded shapes coincide
+    rides one vmapped executable — through the remote TPU attachment the eval
+    wall is dispatch round-trips, not compute (BASELINE.md evaluate_18 row)."""
+    def one(p, x, t, m, xq):
+        p2, _ = _train_core(p, x, t, m, epochs, lr, classify)
+        return _forward_last(p2, xq)
+    return jax.vmap(one)(params, X, y, w, Xq)
+
+
+def _run_grouped(tasks: list[dict], epochs: int, lr: float, classify: bool):
+    """Each task: {params, Xtr, ytr, w, Xte} (already padded). Returns
+    per-task host logits/outputs on the padded test rows, in input order.
+    Tasks are grouped by their full shape signature; each group costs one
+    device dispatch and one host pull."""
+    out: list = [None] * len(tasks)
+    groups: dict = {}
+    for i, t in enumerate(tasks):
+        key = (t["Xtr"].shape, t["ytr"].shape, t["Xte"].shape)
+        groups.setdefault(key, []).append(i)
+    for idxs in groups.values():
+        P = jax.tree.map(lambda *ls: jnp.stack(ls),
+                         *[tasks[i]["params"] for i in idxs])
+        stack = lambda name: jnp.stack([tasks[i][name] for i in idxs])
+        res = np.asarray(_train_infer_many(
+            P, stack("Xtr"), stack("ytr"), stack("w"), stack("Xte"),
+            epochs, lr, classify))
+        for j, i in enumerate(idxs):
+            out[i] = res[j]
+    return out
+
+
+def discriminative_scores_batch(pairs: list[tuple[np.ndarray, np.ndarray]],
+                                epochs: int = 20, lr: float = 1e-3,
+                                hidden: int = 24, seed: int = 0) -> list[tuple]:
+    """Balanced real-vs-fake GRU classifier accuracy + AUC for MANY
+    (real, fake) pairs (evaluation.py:72-98 per pair: n=min counts, 70/30
+    stratified split, full-batch Adam). The host protocol — permutations,
+    split, init — is exactly the single-pair one per pair; only the device
+    work is fused (see :func:`_run_grouped`)."""
+    tasks, truths = [], []
+    for real, fake in pairs:
+        n = min(len(real), len(fake))
+        idx_r = np.random.RandomState(seed).permutation(len(real))[:n]
+        idx_f = np.random.RandomState(seed + 1).permutation(len(fake))[:n]
+        X = np.concatenate([real[idx_r], fake[idx_f]], axis=0).astype(np.float32)
+        y = np.concatenate([np.ones(n), np.zeros(n)]).astype(np.float32)
+        Xtr, Xte, ytr, yte = train_test_split(X, y, test_size=0.3, stratify=y,
+                                              random_state=seed)
+        params = _rnn_head_init(jax.random.key(seed), X.shape[-1], hidden, 1)
+        Xp, yp, w = _pad_rows([Xtr, ytr[:, None]])
+        Xq, _ = _pad_rows([Xte])
+        tasks.append({"params": params, "Xtr": Xp, "ytr": yp, "w": w, "Xte": Xq})
+        truths.append(yte)
+    results = []
+    for yte, logits in zip(truths, _run_grouped(tasks, epochs, lr, True)):
+        p = (1.0 / (1.0 + np.exp(-logits[: len(yte)]))).ravel()
+        acc = accuracy_score(yte, (p >= 0.5).astype(int))
+        try:
+            auc = roc_auc_score(yte, p)
+        except ValueError:
+            auc = float("nan")
+        results.append((acc, auc))
+    return results
+
+
+def predictive_scores_batch(tasks_in: list[tuple], epochs: int = 50,
+                            lr: float = 1e-3, hidden: int = 24,
+                            seed: int = 0) -> list[tuple]:
+    """GRU regressor RMSE + R² for MANY (X_train, y_train, X_test, y_test)
+    tasks (evaluation.py:100-115); TSTR/TRTS wiring stays with callers."""
+    tasks, truths = [], []
+    for X_train, y_train, X_test, y_test in tasks_in:
+        params = _rnn_head_init(jax.random.key(seed), X_train.shape[-1],
+                                hidden, y_train.shape[-1])
+        Xp, yp, w = _pad_rows([np.asarray(X_train, np.float32),
+                               np.asarray(y_train, np.float32)])
+        Xq, _ = _pad_rows([np.asarray(X_test, np.float32)])
+        tasks.append({"params": params, "Xtr": Xp, "ytr": yp, "w": w, "Xte": Xq})
+        truths.append(np.asarray(y_test))
+    results = []
+    for y_test, out in zip(truths, _run_grouped(tasks, epochs, lr, False)):
+        yhat = out[: len(y_test)]
+        rmse = float(np.sqrt(mean_squared_error(y_test, yhat)))
+        r2 = float(r2_score(y_test, yhat, multioutput="uniform_average"))
+        results.append((rmse, r2))
+    return results
 
 
 def discriminative_score(real: np.ndarray, fake: np.ndarray, epochs: int = 20,
                          lr: float = 1e-3, hidden: int = 24, seed: int = 0):
-    """Balanced real-vs-fake GRU classifier accuracy + AUC
-    (evaluation.py:72-98): n=min counts, 70/30 stratified split, full-batch."""
-    n = min(len(real), len(fake))
-    idx_r = np.random.RandomState(seed).permutation(len(real))[:n]
-    idx_f = np.random.RandomState(seed + 1).permutation(len(fake))[:n]
-    X = np.concatenate([real[idx_r], fake[idx_f]], axis=0).astype(np.float32)
-    y = np.concatenate([np.ones(n), np.zeros(n)]).astype(np.float32)
-    Xtr, Xte, ytr, yte = train_test_split(X, y, test_size=0.3, stratify=y,
-                                          random_state=seed)
-    params = _rnn_head_init(jax.random.key(seed), X.shape[-1], hidden, 1)
-    Xp, yp, w = _pad_rows([Xtr, ytr[:, None]])
-    params, _ = _train_full_batch(params, jnp.asarray(Xp), jnp.asarray(yp),
-                                  jnp.asarray(w), epochs, lr, True)
-    Xq, wq = _pad_rows([Xte])
-    logits = np.asarray(_infer_last(params, jnp.asarray(Xq)))[: len(Xte)]
-    p = (1.0 / (1.0 + np.exp(-logits))).ravel()
-    yhat = (p >= 0.5).astype(int)
-    acc = accuracy_score(yte, yhat)
-    try:
-        auc = roc_auc_score(yte, p)
-    except ValueError:
-        auc = float("nan")
-    return acc, auc
+    """Single-pair wrapper over :func:`discriminative_scores_batch`."""
+    return discriminative_scores_batch([(real, fake)], epochs=epochs, lr=lr,
+                                       hidden=hidden, seed=seed)[0]
 
 
 def predictive_score(X_train: np.ndarray, y_train: np.ndarray,
                      X_test: np.ndarray, y_test: np.ndarray,
                      epochs: int = 50, lr: float = 1e-3, hidden: int = 24,
                      seed: int = 0):
-    """GRU regressor RMSE + R² — TSTR/TRTS wiring handled by callers
-    (evaluation.py:100-115,192-195)."""
-    params = _rnn_head_init(jax.random.key(seed), X_train.shape[-1], hidden,
-                            y_train.shape[-1])
-    Xp, yp, w = _pad_rows([np.asarray(X_train, np.float32),
-                           np.asarray(y_train, np.float32)])
-    params, _ = _train_full_batch(params, jnp.asarray(Xp), jnp.asarray(yp),
-                                  jnp.asarray(w), epochs, lr, False)
-    Xq, _ = _pad_rows([np.asarray(X_test, np.float32)])
-    yhat = np.asarray(_infer_last(params, jnp.asarray(Xq)))[: len(X_test)]
-    rmse = float(np.sqrt(mean_squared_error(y_test, yhat)))
-    r2 = float(r2_score(y_test, yhat, multioutput="uniform_average"))
-    return rmse, r2
+    """Single-task wrapper over :func:`predictive_scores_batch`."""
+    return predictive_scores_batch([(X_train, y_train, X_test, y_test)],
+                                   epochs=epochs, lr=lr, hidden=hidden,
+                                   seed=seed)[0]

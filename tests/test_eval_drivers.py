@@ -84,3 +84,28 @@ def test_run_timegan_eval_artifacts(tmp_path, rng):
     assert rows[0]["posture"] == "1" and rows[0]["condition"] == "no_exo"
     assert float(rows[0]["psd_diff"]) >= 0.0
     assert len(res["rows"]) == 2 and np.isfinite(res["global"]["coh_diff"])
+
+
+def test_batched_scores_match_single(rng):
+    """The batched scorer APIs (one vmapped dispatch per padded-shape group)
+    reproduce the single-pair protocol results — same host RNG/splits/padding
+    per pair, only the device work is fused."""
+    from eegsynth.eval.classifiers import (
+        discriminative_score, discriminative_scores_batch,
+        predictive_score, predictive_scores_batch,
+    )
+    r1 = rng.normal(size=(12, 16, 3)).astype(np.float32)
+    f1 = rng.normal(size=(14, 16, 3)).astype(np.float32) + 1.0
+    r2 = rng.normal(size=(80, 16, 3)).astype(np.float32)  # different pad group
+    f2 = rng.normal(size=(80, 16, 3)).astype(np.float32)
+
+    batch = discriminative_scores_batch([(r1, f1), (r2, f2)], epochs=5)
+    for (acc, auc), (real, fake) in zip(batch, [(r1, f1), (r2, f2)]):
+        acc1, auc1 = discriminative_score(real, fake, epochs=5)
+        assert np.isclose(acc, acc1)
+        assert np.isclose(auc, auc1, rtol=1e-5) or (np.isnan(auc) and np.isnan(auc1))
+
+    tasks = [(f1[:, :-1], f1[:, -1], r1[:, :-1], r1[:, -1]),
+             (r2[:, :-1], r2[:, -1], f2[:, :-1], f2[:, -1])]
+    for got, t in zip(predictive_scores_batch(tasks, epochs=5), tasks):
+        np.testing.assert_allclose(got, predictive_score(*t, epochs=5), rtol=1e-4)
