@@ -20,6 +20,7 @@ Deviation noted: best-EMA saves include the live generator's BN running stats
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 import time
@@ -644,9 +645,26 @@ def load_generator(path, num_classes: int | None = None, variant: str = "v1"):
     return trees["model"], trees["bn"], cfg, meta
 
 
-def generate_batch(G, bn, cfg: CGANConfig, key, n: int, label: int):
-    """n samples of one class from N(0,1) noise, eval-mode BN (cgan.py:531-535)."""
-    z = jax.random.normal(key, (n, cfg.noise_dim))
-    labels = jnp.full((n,), label, jnp.int32)
+@functools.partial(jax.jit, static_argnames=("cfg", "m"))
+def _generate_padded(G, bn, key, label, cfg: CGANConfig, m: int):
+    z = jax.random.normal(key, (m, cfg.noise_dim))
+    labels = jnp.full((m,), label, jnp.int32)
     x, _ = generator_apply(G, bn, z, labels, cfg, train=False)
     return x
+
+
+def generate_batch(G, bn, cfg: CGANConfig, key, n: int, label: int):
+    """n samples of one class from N(0,1) noise, eval-mode BN (cgan.py:531-535).
+
+    Compiled: the batch pads up to the next power of two (≥64) so log-many
+    executables serve every request size (eval "match"-count synthesis, viz,
+    serving) instead of eager per-op dispatches — on the remote-attached TPU
+    an eager generator forward costs dozens of round-trips. ``label`` is
+    traced, so one executable covers all classes. Rows are independent in
+    eval-mode BN (running stats), and the padded noise's leading rows equal
+    the unpadded draw (row-major counter RNG), so outputs match the unpadded
+    computation."""
+    m = 64
+    while m < n:
+        m *= 2
+    return _generate_padded(G, bn, key, jnp.int32(label), cfg, m)[:n]

@@ -332,3 +332,22 @@ def test_r1_gamma_auto_default():
     assert CGANHParams(gan_loss="wgan-gp").r1_gamma == 0.0
     assert CGANHParams(gan_loss="wgan-gp", r1_gamma=0.3).r1_gamma == 0.3
     assert CGANHParams(gan_loss="hinge", r1_gamma=0.0).r1_gamma == 0.0
+
+
+def test_generate_batch_padding_invariant():
+    """The compiled pow-2-padded generate_batch matches the direct unpadded
+    forward (eval-mode BN rows are independent; the padded noise's leading
+    rows equal the unpadded draw) to float tolerance."""
+    from eegsynth.train.cgan import (
+        CGANHParams, build_cfg, generate_batch, generator_apply, generator_init,
+    )
+    hp = CGANHParams(variant="v2")
+    cfg = build_cfg(hp, num_classes=2)
+    G, bn = generator_init(jax.random.key(0), cfg)
+    key = jax.random.key(7)
+    x_pad = np.asarray(generate_batch(G, bn, cfg, key, 3, 1))
+    z = jax.random.normal(key, (3, cfg.noise_dim))
+    x_ref, _ = generator_apply(G, bn, z, jnp.full((3,), 1, jnp.int32), cfg,
+                               train=False)
+    assert x_pad.shape == (3, 14, 768)
+    np.testing.assert_allclose(x_pad, np.asarray(x_ref), atol=1e-6)
