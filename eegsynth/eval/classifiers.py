@@ -118,9 +118,17 @@ def _run_grouped(tasks: list[dict], epochs: int, lr: float, classify: bool):
         key = (t["Xtr"].shape, t["ytr"].shape, t["Xte"].shape)
         groups.setdefault(key, []).append(i)
     for idxs in groups.values():
+        # the task dim is a compile dimension too: pad it to a power of two
+        # (repeating the first task; its extra lanes are discarded) so a
+        # different pair count next run reuses the same executable instead of
+        # paying a fresh multi-minute remote-tunnel compile
+        g = 1
+        while g < len(idxs):
+            g *= 2
+        padded = idxs + [idxs[0]] * (g - len(idxs))
         P = jax.tree.map(lambda *ls: jnp.stack(ls),
-                         *[tasks[i]["params"] for i in idxs])
-        stack = lambda name: jnp.stack([tasks[i][name] for i in idxs])
+                         *[tasks[i]["params"] for i in padded])
+        stack = lambda name: jnp.stack([tasks[i][name] for i in padded])
         res = np.asarray(_train_infer_many(
             P, stack("Xtr"), stack("ytr"), stack("w"), stack("Xte"),
             epochs, lr, classify))

@@ -73,20 +73,28 @@ def load_pairs_by_condition(real_dir: Path, synth_dir: Path) -> dict:
     return pairs
 
 
-def evaluate_pair(real: np.ndarray, fake: np.ndarray, fs: float = 128.0) -> dict:
-    """The full metric row for one real/fake corpus (evaluation.py:187-207)."""
-    acc, auc = discriminative_score(real, fake)
-    Xr_in, yr = real[:, :-1, :], real[:, -1, :]
-    Xf_in, yf = fake[:, :-1, :], fake[:, -1, :]
-    rmse_tstr, r2_tstr = predictive_score(Xf_in, yf, Xr_in, yr)
-    rmse_trts, r2_trts = predictive_score(Xr_in, yr, Xf_in, yf)
+def _metric_dict(real: np.ndarray, fake: np.ndarray, disc: tuple,
+                 tstr: tuple, trts: tuple, fs: float) -> dict:
+    """Assemble one METRIC_COLS row from scorer results + the (golden-parity)
+    statistical similarity of the corpus — shared by evaluate_pair and the
+    batched driver so the two can't drift."""
     psd_diff, acf_diff, coh_diff = statistical_similarity(real, fake, fs=fs)
-    return {"disc_acc": acc, "disc_auc": auc,
-            "rmse_tstr": rmse_tstr, "r2_tstr": r2_tstr,
-            "rmse_trts": rmse_trts, "r2_trts": r2_trts,
+    return {"disc_acc": disc[0], "disc_auc": disc[1],
+            "rmse_tstr": tstr[0], "r2_tstr": tstr[1],
+            "rmse_trts": trts[0], "r2_trts": trts[1],
             "psd_diff": psd_diff, "acf_diff": acf_diff, "coh_diff": coh_diff,
             "n_real": len(real), "n_fake": len(fake),
             "seq_len": real.shape[1], "n_ch": real.shape[2]}
+
+
+def evaluate_pair(real: np.ndarray, fake: np.ndarray, fs: float = 128.0) -> dict:
+    """The full metric row for one real/fake corpus (evaluation.py:187-207)."""
+    Xr_in, yr = real[:, :-1, :], real[:, -1, :]
+    Xf_in, yf = fake[:, :-1, :], fake[:, -1, :]
+    return _metric_dict(real, fake,
+                        discriminative_score(real, fake),
+                        predictive_score(Xf_in, yf, Xr_in, yr),
+                        predictive_score(Xr_in, yr, Xf_in, yf), fs)
 
 
 def write_csv(path: Path, rows: list[dict], lead_cols: list[str]) -> None:
@@ -172,6 +180,8 @@ def run_timegan_eval(real_dir, synth_dir, out, fs: float = 128.0,
     # batch); only the device work is fused. Through the remote TPU tunnel
     # this is the difference between ~6 round-trips per pair and ~6 total.
     corpora = [pairs[k] for k in keys] + [(R, F)]
+    print(f"[eval] training {len(corpora)} discriminative scorers "
+          "(vmapped groups; first run may compile for minutes)...", flush=True)
     disc = discriminative_scores_batch(corpora)
     pred_tasks = []
     for real, fake in corpora:
@@ -179,20 +189,13 @@ def run_timegan_eval(real_dir, synth_dir, out, fs: float = 128.0,
         Xf_in, yf = fake[:, :-1, :], fake[:, -1, :]
         pred_tasks.append((Xf_in, yf, Xr_in, yr))   # TSTR
         pred_tasks.append((Xr_in, yr, Xf_in, yf))   # TRTS
+    print(f"[eval] training {len(pred_tasks)} predictive scorers "
+          "(TSTR+TRTS)...", flush=True)
     pred = predictive_scores_batch(pred_tasks)
 
     def metric_row(i: int) -> dict:
-        real, fake = corpora[i]
-        acc, auc = disc[i]
-        (rmse_tstr, r2_tstr), (rmse_trts, r2_trts) = pred[2 * i], pred[2 * i + 1]
-        psd_diff, acf_diff, coh_diff = statistical_similarity(real, fake, fs=fs)
-        return {"disc_acc": acc, "disc_auc": auc,
-                "rmse_tstr": rmse_tstr, "r2_tstr": r2_tstr,
-                "rmse_trts": rmse_trts, "r2_trts": r2_trts,
-                "psd_diff": psd_diff, "acf_diff": acf_diff,
-                "coh_diff": coh_diff,
-                "n_real": len(real), "n_fake": len(fake),
-                "seq_len": real.shape[1], "n_ch": real.shape[2]}
+        return _metric_dict(*corpora[i], disc[i], pred[2 * i],
+                            pred[2 * i + 1], fs)
 
     rows = []
     for i, keyid in enumerate(keys):

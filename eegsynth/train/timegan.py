@@ -409,10 +409,12 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
                         num_layers=hp.layers, dropout=hp.dropout)
 
     log_file = out_dir / "train_log.csv"
-    # resume accepts whichever format the previous run wrote, preferring the
-    # requested one; new checkpoints are written in the requested format
+    # resume restores the NEWEST ckpt_latest regardless of backend format
+    # (find_checkpoint arbitrates by mtime — a run previously resumed under a
+    # different --ckpt_format must not silently restore stale weights); new
+    # checkpoints are written in the requested format
     ckpt_latest = out_dir / f"ckpt_latest{ext}"
-    if resume and not ckpt_latest.exists():
+    if resume:
         found = ckpt_io.find_checkpoint(out_dir, "ckpt_latest")
         ckpt_latest = found if found is not None else ckpt_latest
     resuming = resume and ckpt_latest.exists()

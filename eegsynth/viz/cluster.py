@@ -202,6 +202,8 @@ def tsne_embed(X, seed: int, pca_keep: int = 50, perplexity: float = 30.0):
     from sklearn.manifold import TSNE
 
     n = len(X)
+    if n < 2:  # t-SNE needs perplexity < n; mirror zoom_pair_figures' pad
+        return np.zeros((n, 2), np.float32)
     K = min(pca_keep, X.shape[1], max(2, n - 1))
     Xred = PCA(n_components=K, random_state=seed).fit_transform(X)
     kw = dict(n_components=2, perplexity=min(perplexity, max(1, n - 1)),

@@ -98,9 +98,16 @@ def test_batched_scores_match_single(rng):
     f1 = rng.normal(size=(14, 16, 3)).astype(np.float32) + 1.0
     r2 = rng.normal(size=(80, 16, 3)).astype(np.float32)  # different pad group
     f2 = rng.normal(size=(80, 16, 3)).astype(np.float32)
+    # r3/r4 pad to the same shapes as r1's task → a group of 3, which the
+    # task-dim pow-2 padding rounds to 4 (the 4th lane repeats task 0)
+    r3 = rng.normal(size=(13, 16, 3)).astype(np.float32)
+    f3 = rng.normal(size=(13, 16, 3)).astype(np.float32)
+    r4 = rng.normal(size=(11, 16, 3)).astype(np.float32)
+    f4 = rng.normal(size=(11, 16, 3)).astype(np.float32) - 1.0
 
-    batch = discriminative_scores_batch([(r1, f1), (r2, f2)], epochs=5)
-    for (acc, auc), (real, fake) in zip(batch, [(r1, f1), (r2, f2)]):
+    quad = [(r1, f1), (r2, f2), (r3, f3), (r4, f4)]
+    batch = discriminative_scores_batch(quad, epochs=5)
+    for (acc, auc), (real, fake) in zip(batch, quad):
         acc1, auc1 = discriminative_score(real, fake, epochs=5)
         assert np.isclose(acc, acc1)
         assert np.isclose(auc, auc1, rtol=1e-5) or (np.isnan(auc) and np.isnan(auc1))

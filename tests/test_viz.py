@@ -168,3 +168,6 @@ def test_tsne_embed_clamps_tiny_inputs(rng):
     from eegsynth.viz.cluster import tsne_embed
     Z = tsne_embed(rng.normal(size=(4, 10)), seed=0, perplexity=30.0)
     assert Z.shape == (4, 2) and np.isfinite(Z).all()
+    # n < 2: sklearn refuses both PCA(2) and any perplexity — degenerate pad
+    Z1 = tsne_embed(rng.normal(size=(1, 10)), seed=0)
+    assert Z1.shape == (1, 2) and np.all(Z1 == 0)
