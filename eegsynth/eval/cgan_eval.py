@@ -10,15 +10,30 @@ tsne_real_gen.png) per condition (v1) or per posture + global/ (v2/v3).
 from __future__ import annotations
 
 import csv
+import functools
 from pathlib import Path
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from eegsynth.eval.features import psd_features
 
 NUM_POSTURES = 9
 FIXED_PAIRS = [(0, 13), (6, 7), (9, 10), (1, 12)]
+
+
+def _on_cpu(fn):
+    """Run the wrapped helper on the CPU backend: it rFFTs T=768 (mixed
+    radix), which compiles pathologically slowly through the remote TPU
+    tunnel (CLAUDE.md FFT rule). Zero-padding to a power of two would change
+    the metric values (reference parity), so these tiny transforms run on
+    host instead — _acf_avg stays backend-native because it already pads."""
+    @functools.wraps(fn)
+    def wrap(*a, **k):
+        with jax.default_device(jax.devices("cpu")[0]):
+            return fn(*a, **k)
+    return wrap
 
 
 def _write_rows(path, rows):
@@ -116,6 +131,7 @@ def predictive_scores(Xr, Xg, yr, yg, out_csv, target_idx=13, seed=123):
     return rows
 
 
+@_on_cpu
 def _psd_avg(X):
     F = jnp.fft.rfft(jnp.asarray(X), axis=2)
     return np.asarray(jnp.mean(F.real ** 2 + F.imag ** 2, axis=0))
@@ -134,6 +150,7 @@ def _acf_avg(X, max_lag=128):
     return np.asarray(jnp.sum(cross, axis=0) / (X.shape[0] * counts)[None, :])
 
 
+@_on_cpu
 def _coh_avg(X, pairs=FIXED_PAIRS):
     X = jnp.asarray(X)
     F = jnp.fft.rfft(X, axis=2)

@@ -161,13 +161,18 @@ def sigma_at(hp: CGANHParams, total_epochs: int, e: int) -> float:
     return (1 - t) * hp.inst_noise_start + t * hp.inst_noise_end
 
 
-def make_lr(hp: CGANHParams, steps_per_epoch: int, base: float):
+def make_lr(hp: CGANHParams, updates_per_epoch: int, base: float,
+            epoch_offset: int = 0):
     """torch StepLR stepped once per epoch (cgan.py:348-349,476), expressed
-    over the optax update count."""
+    over the optax update count. ``updates_per_epoch`` is THIS optimizer's
+    updates per epoch — D takes ``d_steps`` updates per step while G takes
+    one — and ``epoch_offset`` accounts for epochs with zero updates (the v2
+    prewarm skips D entirely), so the per-epoch decay boundary lands on the
+    same epoch for both optimizers as the reference's paired schG/schD."""
     if hp.lr_decay >= 1.0:
         return base
     return lambda count: base * hp.lr_decay ** (
-        (count // steps_per_epoch) // hp.lr_decay_step)
+        ((count // updates_per_epoch) + epoch_offset) // hp.lr_decay_step)
 
 
 def generator_meta(hp: CGANHParams, num_classes: int, tag: str) -> dict:
@@ -462,10 +467,12 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
     D = {"dg": disc_init(kDg, cfg), "dl": disc_init(kDl, cfg)}
     ema = jax.tree_util.tree_map(lambda a: a, G)
 
-    steps_for_sched = max(1, X_np.shape[0] // hp.batch_size)
+    steps = max(1, X_np.shape[0] // hp.batch_size)
 
-    optG = optax.adam(make_lr(hp, steps_for_sched, hp.lr_g), b1=hp.beta1, b2=hp.beta2)
-    optD = optax.adam(make_lr(hp, steps_for_sched, hp.lr_d), b1=hp.beta1, b2=hp.beta2)
+    optG = optax.adam(make_lr(hp, steps, hp.lr_g), b1=hp.beta1, b2=hp.beta2)
+    optD = optax.adam(make_lr(hp, steps * max(1, hp.d_steps), hp.lr_d,
+                              epoch_offset=hp.prewarm),
+                      b1=hp.beta1, b2=hp.beta2)
     g_state = optG.init(G)
     d_state = optD.init(D)
 
@@ -482,6 +489,11 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
         # g_loss — fall back to that rather than letting flush_best overwrite
         # the best generator with a worse one.
         best_g = float(meta.get("best_g", meta.get("g_loss", best_g)))
+        # Advance the RNG stream past the consumed epochs (same fix as the
+        # timegan trainer): without this a resumed run replays the exact
+        # balanced-batch/noise/label draws of epochs 0..start_epoch. High tag
+        # keeps the fold clear of split indices (fold_in(k,i)==split(k,n)[i]).
+        key = jax.random.fold_in(key, 0x5EED0200 + start_epoch)
         log(f"[{tag}] Resumed from {resume} @ epoch {start_epoch}")
 
     table_np, counts_np = build_label_table(y_np, cfg.num_classes, label_base)
@@ -489,7 +501,6 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
     table = jnp.asarray(table_np)
     counts = jnp.asarray(counts_np, dtype=jnp.float32)
 
-    steps = max(1, X_np.shape[0] // hp.batch_size)
     total_epochs = hp.prewarm + hp.epochs
     log(f"[{tag}] Training {total_epochs} epochs, steps/epoch ≈ {steps}")
 

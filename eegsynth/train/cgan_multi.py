@@ -137,7 +137,9 @@ def train_all_postures(data_dir, runs_root, postures=None, log=print,
          "dl": jax.vmap(lambda k: disc_init(jax.random.fold_in(k, 0x5EED0002), cfg))(keys)}
     ema = jax.tree_util.tree_map(lambda a: a, G)
     optG = optax.adam(make_lr(hp, steps, hp.lr_g), b1=hp.beta1, b2=hp.beta2)
-    optD = optax.adam(make_lr(hp, steps, hp.lr_d), b1=hp.beta1, b2=hp.beta2)
+    optD = optax.adam(make_lr(hp, steps * max(1, hp.d_steps), hp.lr_d,
+                              epoch_offset=hp.prewarm),
+                      b1=hp.beta1, b2=hp.beta2)
     g_state = jax.vmap(optG.init)(G)
     d_state = jax.vmap(optD.init)(D)
     best = {"loss": jnp.full((P_all,), jnp.inf, jnp.float32),

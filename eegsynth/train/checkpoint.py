@@ -172,11 +172,12 @@ def load_checkpoint(path: Path | str, templates: dict[str, Any],
     """
     if is_orbax_path(path):
         payload, meta = _orbax_restore(path)
-        stored_keys = set(payload)
     else:
-        payload = np.load(path)
-        meta = json.loads(bytes(payload["__meta__"]).decode("utf-8"))
-        stored_keys = set(payload.files)
+        with np.load(path) as data:  # close the zip handle — long-lived
+            # servers load many checkpoints and would leak descriptors
+            meta = json.loads(bytes(data["__meta__"]).decode("utf-8"))
+            payload = {k: data[k] for k in data.files if k != "__meta__"}
+    stored_keys = set(payload)
     out = {}
     for name, template in templates.items():
         paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)

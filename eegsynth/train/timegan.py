@@ -224,7 +224,9 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
 
     do_rate, do_active = _dropout_cfg(hp)
 
-    def one_step(carry, step):
+    def one_step(B_eff, carry, step):
+        # B_eff is bound per build() below (not a shared mutable closure —
+        # two runners from one factory must not alias each other's batch size)
         params, d_state, g_state, best_params, best_loss, best_step, key, X, n_valid = carry
         key, k_idx, k_z1, k_nr, k_nf, k_lbl, k_z2, k_ng = jax.random.split(key, 8)
         if do_active:  # fresh inter-layer dropout masks per forward, as torch
@@ -331,8 +333,6 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
         return (params, d_state, g_state, best_params, best_loss, best_step, key,
                 X, n_valid), logs
 
-    B_eff = None
-
     def build(batch_eff, with_valid_n: bool = False, vmapped: bool = False):
         """Build the jitted chunk runner.
 
@@ -343,8 +343,7 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
         - vmapped: vmap every argument except the shared step ids over a
           leading bucket axis (one dispatch trains every bucket in parallel)
         """
-        nonlocal B_eff
-        B_eff = batch_eff
+        step_fn = lambda carry, step: one_step(batch_eff, carry, step)
 
         def chunk(params, d_state, g_state, best_params, best_loss, best_step,
                   key, X, n_valid, steps):
@@ -352,7 +351,7 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
                      key, X, n_valid if with_valid_n else None)
             # unroll=2 measured 59.2 vs 58.7 steps/s (noise) at ~2× the chunk
             # compile time — not worth it
-            carry, logs = jax.lax.scan(one_step, carry, steps)
+            carry, logs = jax.lax.scan(step_fn, carry, steps)
             return carry[:7], logs
 
         if vmapped:

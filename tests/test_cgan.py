@@ -351,3 +351,18 @@ def test_generate_batch_padding_invariant():
                                train=False)
     assert x_pad.shape == (3, 14, 768)
     np.testing.assert_allclose(x_pad, np.asarray(x_ref), atol=1e-6)
+
+
+def test_make_lr_d_steps_and_prewarm():
+    """StepLR parity: the decay boundary lands on the same EPOCH for both
+    optimizers even though D takes d_steps updates per step and none during
+    the v2 prewarm (the reference steps schG/schD once per epoch)."""
+    from eegsynth.train.cgan import CGANHParams, make_lr
+    hp = CGANHParams(lr_decay=0.5, lr_decay_step=10, d_steps=2, prewarm=5)
+    steps = 4
+    g = make_lr(hp, steps, 1.0)
+    assert g(39) == 1.0 and g(40) == 0.5          # epoch 10 -> count 40
+    d = make_lr(hp, steps * hp.d_steps, 1.0, epoch_offset=hp.prewarm)
+    # true epoch 10 = 5 prewarm (0 D updates) + 5 trained epochs x 8 updates
+    assert d(39) == 1.0 and d(40) == 0.5
+    assert make_lr(CGANHParams(), 4, 3e-4) == 3e-4  # lr_decay=1 -> constant
