@@ -56,9 +56,16 @@ def gradient_penalty(score_fn, key, real: jax.Array, fake: jax.Array) -> jax.Arr
 
 
 def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """torch CrossEntropyLoss (mean reduction) for ACGAN heads."""
+    """torch CrossEntropyLoss (mean reduction) for ACGAN heads.
+
+    Selects the label log-prob with a one_hot mask-sum instead of
+    take_along_axis — traced-index gathers compile pathologically slowly
+    through the remote tunnel (CLAUDE.md rule); exact for finite log-probs
+    (log_softmax of finite f32 logits cannot underflow to −inf)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+    picked = jnp.sum(logp * jax.nn.one_hot(labels, logits.shape[-1],
+                                           dtype=logp.dtype), axis=-1)
+    return -jnp.mean(picked)
 
 
 def feature_matching(fake_feats: jax.Array, real_feats: jax.Array) -> jax.Array:

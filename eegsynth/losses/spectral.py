@@ -14,6 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from eegsynth.ops.spectral import rfft_power
 from eegsynth.ops.stats import per_sample_channel_cov
 
 FIXED_PAIRS = np.array([(0, 13), (6, 7), (9, 10), (1, 12)])
@@ -25,10 +26,8 @@ ALL_PAIRS = np.array(list(itertools.combinations(range(14), 2)))
 
 def psd_loss(real: jax.Array, fake: jax.Array) -> jax.Array:
     """L1 of batch-mean rFFT power (B,C,T) → scalar (cgan.py:283-289)."""
-    Fr = jnp.fft.rfft(real, axis=2)
-    Ff = jnp.fft.rfft(fake, axis=2)
-    P_r = jnp.mean(Fr.real ** 2 + Fr.imag ** 2, axis=0)
-    P_f = jnp.mean(Ff.real ** 2 + Ff.imag ** 2, axis=0)
+    P_r = jnp.mean(rfft_power(real, axis=2), axis=0)
+    P_f = jnp.mean(rfft_power(fake, axis=2), axis=0)
     return jnp.mean(jnp.abs(P_f - P_r))
 
 
@@ -114,10 +113,8 @@ def posture_conditional_losses(real: jax.Array, fake: jax.Array, labels: jax.Arr
         # graph (XLA won't fold x*0 through an FFT)
         l = jnp.float32(0.0)
         if psd_w > 0:
-            Fr = jnp.fft.rfft(real, axis=2)
-            Ff = jnp.fft.rfft(fake, axis=2)
-            P_r = wmean(Fr.real ** 2 + Fr.imag ** 2, wr)
-            P_f = wmean(Ff.real ** 2 + Ff.imag ** 2, wr)
+            P_r = wmean(rfft_power(real, axis=2), wr)
+            P_f = wmean(rfft_power(fake, axis=2), wr)
             l = l + psd_w * jnp.mean(jnp.abs(P_f - P_r))
 
         if coh_w > 0:

@@ -116,10 +116,12 @@ def disc_features(params, x: jax.Array, train: bool = True):
     return jnp.mean(h, axis=2), new
 
 
-def disc_apply(params, x: jax.Array, labels: jax.Array, cfg: CGANConfig,
-               train: bool = True, dropout_key: jax.Array | None = None):
-    """→ (score (B,1), acgan logits (B,K), features (B,512), updated params)."""
-    f, new = disc_features(params, x, train=train)
+def disc_head(params, f, labels: jax.Array, cfg, train: bool = True,
+              dropout_key: jax.Array | None = None):
+    """Projection-ACGAN discriminator head (cgan.py:244-252; v2 dropout +
+    fixed 0.1·std, cgan_v2.py:180-190), shared by the conv and transformer
+    trunks so the math cannot diverge. Returns
+    (score (B,1), acgan logits (B,K), f_used, u_fc, u_cls)."""
     if cfg.variant == "v2" and train and cfg.dropout > 0:
         assert dropout_key is not None, "v2 discriminator needs a dropout key"
         keep = jax.random.bernoulli(dropout_key, 1.0 - cfg.dropout, f.shape)
@@ -129,7 +131,12 @@ def disc_apply(params, x: jax.Array, labels: jax.Array, cfg: CGANConfig,
 
     std = jnp.sqrt(jnp.var(f_used, axis=0) + 1e-8)        # biased var, torch parity
     mb = jnp.mean(std)
-    proj = jnp.sum(f_used * params["embed"][labels], axis=1, keepdims=True)
+    # one_hot matmul, not embed[labels]: traced-index gathers compile
+    # pathologically slowly through the remote tunnel (CLAUDE.md rule); the
+    # 0/1-weighted matmul selects the row bit-exactly for finite embeddings
+    emb = jax.nn.one_hot(labels, params["embed"].shape[0],
+                         dtype=params["embed"].dtype) @ params["embed"]
+    proj = jnp.sum(f_used * emb, axis=1, keepdims=True)
 
     w_fc, u_fc = spectral_normalize(params["fc"]["w"], params["fc"]["u"], update=train)
     score = f_used @ w_fc.T + params["fc"]["b"]
@@ -140,7 +147,15 @@ def disc_apply(params, x: jax.Array, labels: jax.Array, cfg: CGANConfig,
 
     w_cls, u_cls = spectral_normalize(params["cls"]["w"], params["cls"]["u"], update=train)
     logits = f_used @ w_cls.T + params["cls"]["b"]
+    return score, logits, f_used, u_fc, u_cls
 
+
+def disc_apply(params, x: jax.Array, labels: jax.Array, cfg: CGANConfig,
+               train: bool = True, dropout_key: jax.Array | None = None):
+    """→ (score (B,1), acgan logits (B,K), features (B,512), updated params)."""
+    f, new = disc_features(params, x, train=train)
+    score, logits, f_used, u_fc, u_cls = disc_head(params, f, labels, cfg,
+                                                   train, dropout_key)
     new["fc"] = {**params["fc"], "u": u_fc}
     new["cls"] = {**params["cls"], "u": u_cls}
     return score, logits, f_used, new

@@ -201,29 +201,13 @@ def disc_apply(params, x: jax.Array, labels: jax.Array,
                cfg: TransformerCGANConfig, train: bool = True,
                dropout_key: jax.Array | None = None):
     """→ (score (B,1), acgan logits (B,K), features (B,dim), updated params) —
-    head math identical to the conv discriminator (models/cgan.py:118-145)."""
+    the head IS the conv discriminator's (models/cgan.py disc_head); only the
+    trunk differs."""
+    from eegsynth.models.cgan import disc_head
+
     f, _ = disc_features(params, x, train=train, cfg=cfg)
-    if cfg.variant == "v2" and train and cfg.dropout > 0:
-        assert dropout_key is not None, "v2 discriminator needs a dropout key"
-        keep = jax.random.bernoulli(dropout_key, 1.0 - cfg.dropout, f.shape)
-        f_used = jnp.where(keep, f / (1.0 - cfg.dropout), 0.0)
-    else:
-        f_used = f
-
-    std = jnp.sqrt(jnp.var(f_used, axis=0) + 1e-8)
-    mb = jnp.mean(std)
-    proj = jnp.sum(f_used * params["embed"][labels], axis=1, keepdims=True)
-
-    w_fc, u_fc = spectral_normalize(params["fc"]["w"], params["fc"]["u"], update=train)
-    score = f_used @ w_fc.T + params["fc"]["b"]
-    if cfg.variant == "v2":
-        score = score + cfg.proj_scale * proj + 0.1 * mb
-    else:
-        score = score + cfg.proj_scale * proj + params["std_weight"] * mb
-
-    w_cls, u_cls = spectral_normalize(params["cls"]["w"], params["cls"]["u"], update=train)
-    logits = f_used @ w_cls.T + params["cls"]["b"]
-
+    score, logits, f_used, u_fc, u_cls = disc_head(params, f, labels, cfg,
+                                                   train, dropout_key)
     new = dict(params)
     new["fc"] = {**params["fc"], "u": u_fc}
     new["cls"] = {**params["cls"], "u": u_cls}

@@ -44,6 +44,9 @@ def cbn1d_apply(params, state, x: jax.Array, labels: jax.Array,
         new_state = state
     h = (x - mean[None, :, None]) * jax.lax.rsqrt(var[None, :, None] + eps)
     nf = x.shape[1]
-    gb = params["embed"][labels]               # (B, 2C)
+    # one_hot matmul, not embed[labels]: traced-index gathers compile
+    # pathologically slowly through the remote tunnel (CLAUDE.md rule)
+    gb = jax.nn.one_hot(labels, params["embed"].shape[0],
+                        dtype=params["embed"].dtype) @ params["embed"]  # (B, 2C)
     gamma, beta = gb[:, :nf], gb[:, nf:]
     return gamma[:, :, None] * h + beta[:, :, None], new_state

@@ -129,13 +129,21 @@ def gru_apply_pallas(params, x: jax.Array, h0: jax.Array | None = None,
                      *, interpret: bool = False) -> jax.Array:
     """Drop-in replacement for ``gru.gru_apply`` using the fused kernel.
 
-    ``x``: (B, T, in) batch-first → (B, T, H).
-    """
+    ``x``: (B, T, in) batch-first → (B, T, H). The kernel's recurrence state
+    lives in f32 VMEM scratch, so half-precision callers (the bf16 synthesis
+    policy casts the whole model tree) are cast to f32 for the kernel and the
+    output is cast back — same policy as the flash-attention kernel."""
     B, T, _ = x.shape
     H = params["w_hh"].shape[1]
+    out_dtype = x.dtype
+    if out_dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+        params = {k: params[k].astype(jnp.float32)
+                  for k in ("w_ih", "w_hh", "b_ih", "b_hh")}
+        h0 = None if h0 is None else h0.astype(jnp.float32)
     if h0 is None:
-        h0 = jnp.zeros((B, H), x.dtype)
+        h0 = jnp.zeros((B, H), jnp.float32)
     xp = jnp.einsum("bti,gi->btg", x, params["w_ih"]) + params["b_ih"]
     xp = jnp.moveaxis(xp, 1, 0)                       # (T, B, 3H)
     ys = gru_sequence(xp, params["w_hh"].T, params["b_hh"][None, :], h0, interpret)
-    return jnp.moveaxis(ys, 0, 1)
+    return jnp.moveaxis(ys, 0, 1).astype(out_dtype)

@@ -79,28 +79,13 @@ def trapezoid(y: jax.Array, x: jax.Array, axis: int = -1) -> jax.Array:
     return jnp.sum((y[..., 1:] + y[..., :-1]) * 0.5 * dx, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("axis",))
 def rfft_power(x: jax.Array, axis: int = -2):
-    """Plain rFFT power ``re^2 + im^2`` along the time axis.
+    """Plain rFFT power ``re^2 + im^2`` along the time axis — the un-windowed
+    power inside the CGAN PSD losses (losses/spectral.py psd_loss and the
+    posture-conditional psd branch; reference: CGAN/cgan.py:283-289).
 
-    The CGAN PSD loss uses this un-windowed power (reference: CGAN/cgan.py:283-289).
-    """
+    (The coherence statistic lives in losses/spectral.py:_pair_coherence —
+    per-sample normalization with one-hot pair selection, matching the
+    reference's per-pair ``coh``.)"""
     spec = jnp.fft.rfft(x, axis=axis)
     return spec.real ** 2 + spec.imag ** 2
-
-
-def magnitude_squared_coherence_pairs(x: jax.Array, pairs: jax.Array) -> jax.Array:
-    """Batch-mean cross-spectral coherence for channel index pairs.
-
-    ``x``: (B, C, T); ``pairs``: (P, 2) int. Per-pair
-    ``|mean_B(A conj(B))| / sqrt(mean|A|^2 mean|B|^2)`` over rFFT spectra —
-    the CGAN coherence-loss statistic (reference: CGAN/cgan.py:291-304).
-    Returns (P, F).
-    """
-    spec = jnp.fft.rfft(x, axis=-1)                       # (B, C, F)
-    a = spec[:, pairs[:, 0], :]                           # (B, P, F)
-    b = spec[:, pairs[:, 1], :]
-    cross = jnp.mean(a * jnp.conj(b), axis=0)             # (P, F)
-    pa = jnp.mean(jnp.abs(a) ** 2, axis=0)
-    pb = jnp.mean(jnp.abs(b) ** 2, axis=0)
-    return jnp.abs(cross) / jnp.sqrt(pa * pb + 1e-8)

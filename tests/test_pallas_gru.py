@@ -61,3 +61,23 @@ def test_gru_sequence_vjp_dh0(rng):
         dh = jnp.zeros_like(h0).at[0, i].set(eps)
         num = (f(xp, w, b, h0 + dh) - f(xp, w, b, h0 - dh)) / (2 * eps)
         np.testing.assert_allclose(float(g[0, i]), float(num), rtol=2e-2, atol=1e-3)
+
+
+def test_pallas_gru_bf16_inputs():
+    """bf16 callers (the mixed-precision synthesis policy casts the whole
+    model tree) must not crash the kernel: inputs are cast to f32 around the
+    f32 VMEM recurrence and the output returns in bf16."""
+    import jax
+    import jax.numpy as jnp
+    from eegsynth.nn.gru import gru_init
+    from eegsynth.nn.pallas_gru import gru_apply_pallas
+
+    B, T, I, H = 2, 5, 3, 8
+    p32 = gru_init(jax.random.key(0), I, H)
+    x32 = jax.random.uniform(jax.random.key(1), (B, T, I))
+    ref = gru_apply_pallas(p32, x32, interpret=True)
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p32)
+    y16 = gru_apply_pallas(p16, x32.astype(jnp.bfloat16), interpret=True)
+    assert y16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y16, np.float32), np.asarray(ref),
+                               atol=0.05)
