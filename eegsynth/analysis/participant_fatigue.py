@@ -49,24 +49,34 @@ def compute_fatigue_tbr(epoch: np.ndarray, fs: float) -> np.ndarray:
 
 def fatigue_vector_from_trial_csv(path: str, fallback_fs: float = 128.0):
     """One trial CSV → canonical-order (14,) TBR vector (NaN where channel
-    missing)."""
-    import pandas as pd
+    missing). Parsing goes through the native fast_csv reader (mmap +
+    from_chars, ~30× pandas' python engine, identical coerce-to-NaN
+    semantics) — the participants pipeline re-reads every trial CSV, the
+    same workload the preprocessing path already routes through it."""
+    from eegsynth.data.fast_csv import read_columns, read_header
     from eegsynth.data.filters import estimate_fs
     from eegsynth.data.preprocess import find_time_col, match_epoc_columns
 
     try:
-        df = pd.read_csv(path, engine="python")
+        header = read_header(path)
     except Exception:
         return None
-    cols = match_epoc_columns(list(df.columns))
+    cols = match_epoc_columns(header)
     if len(cols) < 4:
         return None
-    time_col = find_time_col(list(df.columns))
-    fs = (estimate_fs(pd.to_numeric(df[time_col], errors="coerce").dropna().values,
-                      fallback_fs) if time_col else fallback_fs)
-    X = df[cols].apply(pd.to_numeric, errors="coerce").values.astype(np.float64)
-    X = np.nan_to_num(X)
-    tbr = compute_fatigue_tbr(X, fs)
+    time_col = find_time_col(header)
+    try:
+        M = read_columns(path, cols + ([time_col] if time_col else []))
+    except Exception:
+        return None
+    if time_col:
+        tvals = M[:, -1]
+        fs = estimate_fs(tvals[~np.isnan(tvals)], fallback_fs)
+        X = M[:, :-1]
+    else:
+        fs = fallback_fs
+        X = M
+    tbr = compute_fatigue_tbr(np.nan_to_num(X.astype(np.float64)), fs)
     return remap_to_14_channels(tbr, cols)
 
 

@@ -178,6 +178,14 @@ def run_preprocess(root, out, fs: float = 128.0, epoch_sec: float = 6.0,
         pack = buckets.setdefault(key, {"X": [], "participant": [], "trial": [],
                                         "fs": [], "ch_names": meta["ch_names"]})
         if meta["ch_names"] != pack["ch_names"]:
+            if len(meta["ch_names"]) != len(pack["ch_names"]):
+                # a different channel COUNT cannot concatenate at all — the
+                # reference would crash the whole run at save time
+                # (np.concatenate of (N,T,14) with (N,T,10)); skip the file
+                # like the other defensive SKIPs (pre-processing.py:147-150)
+                log(f"[SKIP] {fp.name}: {len(meta['ch_names'])} channels vs "
+                    f"bucket's {len(pack['ch_names'])} — cannot concatenate")
+                continue
             # min_channels<14 allows files to match DIFFERENT channel subsets;
             # concatenating those would silently misalign electrode columns
             # (the reference concatenates anyway and keeps the LAST file's

@@ -70,6 +70,18 @@ def estimate_prefix_to_trim(fake: np.ndarray, base_win: int = 16,
     return max(best, 0)
 
 
+def _axis_for(T_x: int, t_real: np.ndarray, fs: float) -> np.ndarray:
+    """Time axis for an array of length T_x plotted against real's axis
+    ``t_real``: equal lengths share the axis; a shorter array (synthetic with
+    only its warm-up prefix trimmed, plot_pair trim_both=False) aligns to the
+    tail; a longer one gets its own full axis."""
+    if T_x == len(t_real):
+        return t_real
+    if T_x < len(t_real):
+        return t_real[len(t_real) - T_x:]
+    return (np.arange(T_x) / fs) if fs > 0 else np.arange(T_x)
+
+
 def samples_grid(real, fake, ch_names, n_samples, fs, out_path, title=""):
     """channels × samples grid of overlaid real/synth traces
     (plot_real_vs_syn_all.py:112-140)."""
@@ -78,6 +90,9 @@ def samples_grid(real, fake, ch_names, n_samples, fs, out_path, title=""):
     n_samples = min(n_samples, N)
     idx = np.random.RandomState(0).choice(N, size=n_samples, replace=False)
     t = (np.arange(T) / fs) if fs > 0 else np.arange(T)
+    # trim_both=False leaves fake shorter by the trimmed warm-up prefix:
+    # align it to the TAIL of real's axis (fake[0] corresponds to real[L])
+    tf = _axis_for(fake.shape[1], t, fs)
     rows, cols = len(ch_names), n_samples
     fig, axes = plt.subplots(rows, cols,
                              figsize=(2.0 * cols + 1.8, 1.0 * rows + 1.8),
@@ -87,7 +102,7 @@ def samples_grid(real, fake, ch_names, n_samples, fs, out_path, title=""):
             ax = axes[r, c]
             n = idx[c]
             ax.plot(t, real[n, :, r], lw=1.0, alpha=0.9, label="real")
-            ax.plot(t, fake[n, :, r], lw=1.0, alpha=0.9, linestyle="--", label="synth")
+            ax.plot(tf, fake[n, :, r], lw=1.0, alpha=0.9, linestyle="--", label="synth")
             if r == 0:
                 ax.set_title(f"sample #{n}", fontsize=9)
             if c == 0:
@@ -109,16 +124,18 @@ def summary_plot(real, fake, ch_names, fs, out_path, title=""):
     plt = _plt()
     T = real.shape[1]
     t = (np.arange(T) / fs) if fs > 0 else np.arange(T)
+    tf = _axis_for(fake.shape[1], t, fs)   # tail-aligned when fake is trimmed
     rows = len(ch_names)
     fig, axes = plt.subplots(rows, 1, figsize=(9, 1.2 * rows + 1.5),
                              sharex=True, squeeze=False)
     for r in range(rows):
         ax = axes[r, 0]
-        for X, name, color in ((real, "real", "C0"), (fake, "synth", "C3")):
+        for X, tx, name, color in ((real, t, "real", "C0"),
+                                   (fake, tf, "synth", "C3")):
             mu = X[:, :, r].mean(axis=0)
             sd = X[:, :, r].std(axis=0)
-            ax.plot(t, mu, lw=1.0, color=color, label=name)
-            ax.fill_between(t, mu - sd, mu + sd, alpha=0.2, color=color)
+            ax.plot(tx, mu, lw=1.0, color=color, label=name)
+            ax.fill_between(tx, mu - sd, mu + sd, alpha=0.2, color=color)
         ax.set_ylabel(ch_names[r], fontsize=8)
         ax.grid(True, alpha=0.2)
     axes[0, 0].legend(loc="upper right", fontsize=8)

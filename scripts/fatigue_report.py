@@ -221,8 +221,12 @@ def cmd_participants(args):
 
     rows = []
     for p in range(1, 10):
-        have_real = np.isfinite(r_means[p]["no_exo"]).any()
-        have_syn = np.isfinite(s_means[p]["no_exo"]).any()
+        # a posture counts as present if EITHER condition has finite means on
+        # either side (a with_exo-only posture must still be plotted)
+        have_real = any(np.isfinite(r_means[p][c]).any()
+                        for c in ("no_exo", "with_exo"))
+        have_syn = any(np.isfinite(s_means[p][c]).any()
+                       for c in ("no_exo", "with_exo"))
         if not (have_real or have_syn):
             continue
         C = len(EPOC_CHANNELS)

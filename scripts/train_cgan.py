@@ -33,8 +33,12 @@ def get_args():
     sub = p.add_subparsers(dest="cmd", required=False)
 
     p.add_argument("--config", type=str, default=None)
-    p.add_argument("--data-dir", type=str, default="./preprocessed")
-    p.add_argument("--save-root", type=str, default="./cgan_runs")
+    # default None so flag-over-config precedence works even when the user
+    # explicitly passes the default value (same pattern as the HP_FLAGS loop)
+    p.add_argument("--data-dir", type=str, default=None,
+                   help="default: config data_dir key, else ./preprocessed")
+    p.add_argument("--save-root", type=str, default=None,
+                   help="default: config save_root key, else ./cgan_runs")
     p.add_argument("--condition", type=str, default="both",
                    choices=["both", "with_exo", "no_exo"])
     for k, typ in HP_FLAGS.items():
@@ -148,10 +152,8 @@ def main():
     from eegsynth.train.cgan import train_one_condition
     from eegsynth.train.sharding import mesh_from_flags
     mesh = mesh_from_flags(args.mesh, args.multihost)
-    data_dir = args.data_dir if args.data_dir != "./preprocessed" else \
-        cfg.get("data_dir", args.data_dir)
-    save_root = args.save_root if args.save_root != "./cgan_runs" else \
-        cfg.get("save_root", args.save_root)
+    data_dir = args.data_dir or cfg.get("data_dir", "./preprocessed")
+    save_root = args.save_root or cfg.get("save_root", "./cgan_runs")
     if args.condition in ("both", "with_exo"):
         train_one_condition(data_dir, save_root, "with_exo", resume=args.resume,
                             mesh=mesh, **hp)

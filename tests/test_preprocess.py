@@ -92,3 +92,30 @@ def test_run_preprocess_dry_run(tmp_path):
     rows = run_preprocess(root, out, dry_run=True, log=lambda *a, **k: None)
     assert rows == []
     assert not (out / "prep_index.csv").exists()
+
+
+def test_run_preprocess_skips_channel_count_mismatch(tmp_path):
+    """A file matching a different channel COUNT than its bucket cannot
+    concatenate (the reference would crash the whole run at save time) —
+    it must be skipped like the other defensive SKIPs, keeping the rest."""
+    import pandas as pd
+
+    root = tmp_path / "6s_window"
+    d = root / "protocol_outputs_1"
+    d.mkdir(parents=True)
+    _write_csv(d, posture=1, cond="no exo", trial=1)      # all 14 channels
+    rng_ = np.random.default_rng(0)
+    n = int(128 * 14.0)
+    data = {"timestamp": np.arange(n) / 128}
+    for ch in EPOC_CHANNELS[:10]:                          # only 10 channels
+        data[f"eeg.{ch.lower()}"] = 4000 + rng_.standard_normal(n)
+    pd.DataFrame(data).to_csv(
+        d / ("Posture-1-con-1-task-fatigue-no exo-xx_EPOCPLUS_1_"
+             "20250808_000001_trial2.csv"), index=False)
+
+    out = tmp_path / "pre"
+    rows = run_preprocess(root, out, log=lambda *a, **k: None)
+    assert {(r["posture"], r["condition"]) for r in rows} == {(1, "no_exo")}
+    b = np.load(out / "posture1_no_exo.npz", allow_pickle=True)
+    assert b["X"].shape[2] == 14          # only the 14-channel trial remains
+    assert set(np.asarray(b["trial"]).tolist()) == {1}

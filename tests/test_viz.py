@@ -171,3 +171,17 @@ def test_tsne_embed_clamps_tiny_inputs(rng):
     # n < 2: sklearn refuses both PCA(2) and any perplexity — degenerate pad
     Z1 = tsne_embed(rng.normal(size=(1, 10)), seed=0)
     assert Z1.shape == (1, 2) and np.all(Z1 == 0)
+
+
+def test_plot_pair_trim_synth_only(tmp_path, rng):
+    """trim_both=False (reference TRIM_BOTH toggle) trims only the synthetic
+    side; the plots must handle the length mismatch by aligning the shorter
+    synthetic trace to the tail of the real axis instead of crashing."""
+    real = rng.normal(size=(6, 96, 4)).astype(np.float32)
+    fake = rng.normal(size=(6, 96, 4)).astype(np.float32)
+    L = plot_pair(real, fake, ["AF3", "F7", "F3", "FC5"], 128.0, tmp_path,
+                  "pt", auto_trim=False, fixed_trim=16, trim_both=False,
+                  n_samples=2)
+    assert L == 16
+    assert (tmp_path / "samples_pt.png").exists()
+    assert (tmp_path / "summary_pt.png").exists()
