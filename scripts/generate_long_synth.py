@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--prefer_latest", action="store_true")
     ap.add_argument("--denorm", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", choices=["default", "cpu"], default="default",
+                    help="'cpu' pins the CPU backend — synthesis is correct "
+                         "on any backend; use when the TPU is busy or "
+                         "unreachable")
     ap.add_argument("--batch", type=int, default=None,
                     help="Optional synthesis micro-batch (memory cap for huge N·T)")
     ap.add_argument("--mesh", action="store_true",
@@ -44,6 +48,10 @@ def main():
                     help="Stream the sequence axis in fixed chunks, carrying "
                          "GRU state — one compiled executable for any length")
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     from eegsynth.models.timegan import TimeGANConfig, timegan_init

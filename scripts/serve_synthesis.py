@@ -314,7 +314,14 @@ def main():
                          "fused cascade in bfloat16 (f32 weights/outputs)")
     ap.add_argument("--warmup", action="store_true",
                     help="pre-compile the serving shape for every run at startup")
+    ap.add_argument("--platform", choices=["default", "cpu"], default="default",
+                    help="'cpu' pins the CPU backend — serve correctly (if "
+                         "slower) when the TPU is busy or unreachable")
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     runs_dir = Path(args.runs_dir) if Path(args.runs_dir).is_dir() else None
     reg = ModelRegistry(runs_dir, Path(args.real_dir), args.prefer_latest,
