@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from eegsynth.models.cgan import CGANConfig
 from eegsynth.nn.attention import mha
 from eegsynth.nn.layers import dense_apply, torch_dense_init
-from eegsynth.nn.spectral_norm import _l2_normalize, spectral_normalize
+from eegsynth.nn.spectral_norm import _l2_normalize
 
 
 @dataclasses.dataclass(frozen=True)
