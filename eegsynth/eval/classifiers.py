@@ -107,31 +107,42 @@ def _train_infer_many(params, X, y, w, Xq, epochs: int, lr: float, classify: boo
     return jax.vmap(one)(params, X, y, w, Xq)
 
 
-def _run_grouped(tasks: list[dict], epochs: int, lr: float, classify: bool):
+def _run_grouped(tasks: list[dict], epochs: int, lr: float, classify: bool,
+                 mesh=None):
     """Each task: {params, Xtr, ytr, w, Xte} (already padded). Returns
     per-task host logits/outputs on the padded test rows, in input order.
     Tasks are grouped by their full shape signature; each group costs one
-    device dispatch and one host pull."""
+    device dispatch and one host pull.
+
+    ``mesh`` shards the task dimension over the mesh's devices — the scorers
+    are independent, so each device trains its slice of the stack with no
+    collectives (one scorer per chip on a v5e-8). Equivalence to the
+    unsharded path is tested on an 8-device CPU mesh."""
     out: list = [None] * len(tasks)
     groups: dict = {}
     for i, t in enumerate(tasks):
         key = (t["Xtr"].shape, t["ytr"].shape, t["Xte"].shape)
         groups.setdefault(key, []).append(i)
+    ndev = int(mesh.devices.size) if mesh is not None else 1
     for idxs in groups.values():
         # the task dim is a compile dimension too: pad it to a power of two
         # (repeating the first task; its extra lanes are discarded) so a
         # different pair count next run reuses the same executable instead of
-        # paying a fresh multi-minute remote-tunnel compile
+        # paying a fresh multi-minute remote-tunnel compile. Under a mesh the
+        # floor is the device count so the task axis shards evenly.
         g = 1
-        while g < len(idxs):
+        while g < max(len(idxs), ndev):
             g *= 2
         padded = idxs + [idxs[0]] * (g - len(idxs))
         P = jax.tree.map(lambda *ls: jnp.stack(ls),
                          *[tasks[i]["params"] for i in padded])
         stack = lambda name: jnp.stack([tasks[i][name] for i in padded])
-        res = np.asarray(_train_infer_many(
-            P, stack("Xtr"), stack("ytr"), stack("w"), stack("Xte"),
-            epochs, lr, classify))
+        args = (P, stack("Xtr"), stack("ytr"), stack("w"), stack("Xte"))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            args = tuple(jax.device_put(a, sh) for a in args)
+        res = np.asarray(_train_infer_many(*args, epochs, lr, classify))
         for j, i in enumerate(idxs):
             out[i] = res[j]
     return out
@@ -139,7 +150,8 @@ def _run_grouped(tasks: list[dict], epochs: int, lr: float, classify: bool):
 
 def discriminative_scores_batch(pairs: list[tuple[np.ndarray, np.ndarray]],
                                 epochs: int = 20, lr: float = 1e-3,
-                                hidden: int = 24, seed: int = 0) -> list[tuple]:
+                                hidden: int = 24, seed: int = 0,
+                                mesh=None) -> list[tuple]:
     """Balanced real-vs-fake GRU classifier accuracy + AUC for MANY
     (real, fake) pairs (evaluation.py:72-98 per pair: n=min counts, 70/30
     stratified split, full-batch Adam). The host protocol — permutations,
@@ -160,7 +172,8 @@ def discriminative_scores_batch(pairs: list[tuple[np.ndarray, np.ndarray]],
         tasks.append({"params": params, "Xtr": Xp, "ytr": yp, "w": w, "Xte": Xq})
         truths.append(yte)
     results = []
-    for yte, logits in zip(truths, _run_grouped(tasks, epochs, lr, True)):
+    for yte, logits in zip(truths,
+                       _run_grouped(tasks, epochs, lr, True, mesh=mesh)):
         p = (1.0 / (1.0 + np.exp(-logits[: len(yte)]))).ravel()
         acc = accuracy_score(yte, (p >= 0.5).astype(int))
         try:
@@ -173,7 +186,7 @@ def discriminative_scores_batch(pairs: list[tuple[np.ndarray, np.ndarray]],
 
 def predictive_scores_batch(tasks_in: list[tuple], epochs: int = 50,
                             lr: float = 1e-3, hidden: int = 24,
-                            seed: int = 0) -> list[tuple]:
+                            seed: int = 0, mesh=None) -> list[tuple]:
     """GRU regressor RMSE + R² for MANY (X_train, y_train, X_test, y_test)
     tasks (evaluation.py:100-115); TSTR/TRTS wiring stays with callers."""
     tasks, truths = [], []
@@ -186,7 +199,8 @@ def predictive_scores_batch(tasks_in: list[tuple], epochs: int = 50,
         tasks.append({"params": params, "Xtr": Xp, "ytr": yp, "w": w, "Xte": Xq})
         truths.append(np.asarray(y_test))
     results = []
-    for y_test, out in zip(truths, _run_grouped(tasks, epochs, lr, False)):
+    for y_test, out in zip(truths,
+                       _run_grouped(tasks, epochs, lr, False, mesh=mesh)):
         yhat = out[: len(y_test)]
         rmse = float(np.sqrt(mean_squared_error(y_test, yhat)))
         r2 = float(r2_score(y_test, yhat, multioutput="uniform_average"))

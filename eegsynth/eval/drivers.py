@@ -149,8 +149,11 @@ def pca_tsne_plots(out: Path, R: np.ndarray, F: np.ndarray, labels: np.ndarray,
 
 
 def run_timegan_eval(real_dir, synth_dir, out, fs: float = 128.0,
-                     by_condition: bool = False, tsne_max: int | None = None) -> dict:
-    """Shared driver for both reference eval entry points."""
+                     by_condition: bool = False, tsne_max: int | None = None,
+                     mesh=None) -> dict:
+    """Shared driver for both reference eval entry points. ``mesh`` shards
+    the batched scorer stacks over its devices (independent scorers — no
+    collectives; see classifiers._run_grouped)."""
     out = Path(out)
     out.mkdir(parents=True, exist_ok=True)
     if by_condition:
@@ -182,7 +185,7 @@ def run_timegan_eval(real_dir, synth_dir, out, fs: float = 128.0,
     corpora = [pairs[k] for k in keys] + [(R, F)]
     print(f"[eval] training {len(corpora)} discriminative scorers "
           "(vmapped groups; first run may compile for minutes)...", flush=True)
-    disc = discriminative_scores_batch(corpora)
+    disc = discriminative_scores_batch(corpora, mesh=mesh)
     pred_tasks = []
     for real, fake in corpora:
         Xr_in, yr = real[:, :-1, :], real[:, -1, :]
@@ -191,7 +194,7 @@ def run_timegan_eval(real_dir, synth_dir, out, fs: float = 128.0,
         pred_tasks.append((Xr_in, yr, Xf_in, yf))   # TRTS
     print(f"[eval] training {len(pred_tasks)} predictive scorers "
           "(TSTR+TRTS)...", flush=True)
-    pred = predictive_scores_batch(pred_tasks)
+    pred = predictive_scores_batch(pred_tasks, mesh=mesh)
 
     def metric_row(i: int) -> dict:
         return _metric_dict(*corpora[i], disc[i], pred[2 * i],

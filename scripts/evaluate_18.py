@@ -23,6 +23,9 @@ def main():
                     help="'cpu' pins the CPU backend (jax_platforms) — the "
                          "metrics are backend-agnostic and the tiny scorers "
                          "run fine on host when the TPU is busy or unreachable")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard the batched scorer stacks over all local "
+                         "devices (one independent scorer per chip)")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -30,8 +33,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from eegsynth.eval.drivers import run_timegan_eval
+    from eegsynth.train.sharding import mesh_from_flags
+    mesh = mesh_from_flags(args.mesh)
     run_timegan_eval(args.real_dir, args.synth_dir, args.out, fs=args.fs,
-                     by_condition=True, tsne_max=args.tsne_max)
+                     by_condition=True, tsne_max=args.tsne_max, mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -116,3 +116,28 @@ def test_batched_scores_match_single(rng):
              (r2[:, :-1], r2[:, -1], f2[:, :-1], f2[:, -1])]
     for got, t in zip(predictive_scores_batch(tasks, epochs=5), tasks):
         np.testing.assert_allclose(got, predictive_score(*t, epochs=5), rtol=1e-4)
+
+
+def test_batched_scores_mesh_equivalence(rng):
+    """Sharding the scorer task axis over an 8-device mesh returns the same
+    scores as the unsharded path (independent lanes, no collectives)."""
+    import jax
+    from eegsynth.eval.classifiers import (
+        discriminative_scores_batch, predictive_scores_batch,
+    )
+    from eegsynth.train.sharding import data_mesh
+
+    mesh = data_mesh(jax.devices()[:8])
+    pairs = [(rng.normal(size=(20, 12, 3)).astype(np.float32),
+              rng.normal(size=(20, 12, 3)).astype(np.float32) + s)
+             for s in (0.0, 0.5, 1.0)]
+    base = discriminative_scores_batch(pairs, epochs=4)
+    shard = discriminative_scores_batch(pairs, epochs=4, mesh=mesh)
+    for (a0, u0), (a1, u1) in zip(base, shard):
+        assert np.isclose(a0, a1)
+        assert np.isclose(u0, u1, rtol=1e-5) or (np.isnan(u0) and np.isnan(u1))
+
+    tasks = [(r[:, :-1], r[:, -1], f[:, :-1], f[:, -1]) for r, f in pairs]
+    for got, exp in zip(predictive_scores_batch(tasks, epochs=4, mesh=mesh),
+                        predictive_scores_batch(tasks, epochs=4)):
+        np.testing.assert_allclose(got, exp, rtol=1e-4)
