@@ -29,7 +29,7 @@ def main():
     import jax.numpy as jnp
     from eegsynth.models.timegan import TimeGANConfig, adaptive_dims, timegan_init
     from eegsynth.train.timegan import (
-        TimeGANHParams, _make_opt, _multistep_lr, make_gan_chunk,
+        TimeGANHParams, make_gan_chunk, make_gan_opts,
     )
 
     if BUCKET.exists():
@@ -43,9 +43,7 @@ def main():
 
     params = timegan_init(jax.random.key(hp.seed), cfg)
     X = jnp.asarray(X_host)
-    milestones = (hp.gan_steps // 2, int(hp.gan_steps * 0.75))
-    optD = _make_opt(_multistep_lr(hp.lr_d, milestones), hp.grad_clip, hp.beta1, hp.beta2)
-    optG = _make_opt(_multistep_lr(hp.lr_g, milestones), hp.grad_clip, hp.beta1, hp.beta2)
+    optD, optG = make_gan_opts(hp)
     d_state = optD.init(params["discriminator"])
     gser = {k: params[k] for k in ("generator", "supervisor", "embedder", "recovery")}
     g_state = optG.init(gser)

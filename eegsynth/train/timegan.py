@@ -216,6 +216,21 @@ def make_sup_epoch(hp: TimeGANHParams, opt, mesh=None):
     return sup_epoch
 
 
+def make_gan_opts(hp: TimeGANHParams, milestones=None):
+    """Adversarial-phase optimizer pair: Adam + global-norm clip with the
+    reference's MultiStepLR halving at 50%/75% of gan_steps
+    (train_timegan.py:331-349). ONE constructor shared by the trainers,
+    bench.py, and the multichip dryrun, so the measured protocol cannot
+    drift from the trained one."""
+    if milestones is None:
+        milestones = (hp.gan_steps // 2, int(hp.gan_steps * 0.75))
+    optD = _make_opt(_multistep_lr(hp.lr_d, milestones), hp.grad_clip,
+                     hp.beta1, hp.beta2)
+    optG = _make_opt(_multistep_lr(hp.lr_g, milestones), hp.grad_clip,
+                     hp.beta1, hp.beta2)
+    return optD, optG
+
+
 def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None):
     """One device dispatch = ``n_steps`` full D+G GAN iterations via lax.scan."""
     target_acc = 0.5 * (hp.d_min_acc + hp.d_max_acc)
@@ -450,9 +465,7 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
             print(f"[SUP] epoch {ep}/{hp.sup_epochs}  sup={float(loss):.5f}", flush=True)
 
     # Phase 3: adversarial
-    milestones = (hp.gan_steps // 2, int(hp.gan_steps * 0.75))
-    optD = _make_opt(_multistep_lr(hp.lr_d, milestones), hp.grad_clip, hp.beta1, hp.beta2)
-    optG = _make_opt(_multistep_lr(hp.lr_g, milestones), hp.grad_clip, hp.beta1, hp.beta2)
+    optD, optG = make_gan_opts(hp)
     d_state = optD.init(params["discriminator"])
     gser = {k: params[k] for k in ("generator", "supervisor", "embedder", "recovery")}
     g_state = optG.init(gser)

@@ -34,7 +34,8 @@ from eegsynth.models.timegan import (
 )
 from eegsynth.train import checkpoint as ckpt_io
 from eegsynth.train.timegan import (
-    TimeGANHParams, _make_opt, _multistep_lr, make_gan_chunk, synthesize,
+    TimeGANHParams, _make_opt, _multistep_lr, make_gan_chunk, make_gan_opts,
+    synthesize,
 )
 
 
@@ -180,9 +181,7 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
           f"final sup≈{float(jnp.mean(sup_losses[:, -1])):.5f}", flush=True)
 
     # Phase 3: vmapped GAN chunks
-    milestones = (hp.gan_steps // 2, int(hp.gan_steps * 0.75))
-    optD = _make_opt(_multistep_lr(hp.lr_d, milestones), hp.grad_clip, hp.beta1, hp.beta2)
-    optG = _make_opt(_multistep_lr(hp.lr_g, milestones), hp.grad_clip, hp.beta1, hp.beta2)
+    optD, optG = make_gan_opts(hp)
     d_state = jax.vmap(lambda p: optD.init(p["discriminator"]))(params)
     g_state = jax.vmap(lambda p: optG.init(
         {k: p[k] for k in ("generator", "supervisor", "embedder", "recovery")}))(params)

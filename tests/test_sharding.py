@@ -13,12 +13,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from eegsynth.models.timegan import TimeGANConfig, timegan_init
 from eegsynth.train.sharding import data_mesh, round_batch_to_mesh
-from eegsynth.train.timegan import TimeGANHParams, _make_opt, _multistep_lr, make_gan_chunk
+from eegsynth.train.timegan import TimeGANHParams, make_gan_chunk, make_gan_opts
 
 
 def _run(mesh, params, X, hp, cfg, batch):
-    optD = _make_opt(_multistep_lr(hp.lr_d, (2, 3)), hp.grad_clip, hp.beta1, hp.beta2)
-    optG = _make_opt(_multistep_lr(hp.lr_g, (2, 3)), hp.grad_clip, hp.beta1, hp.beta2)
+    optD, optG = make_gan_opts(hp, milestones=(2, 3))
     d_state = optD.init(params["discriminator"])
     gser = {k: params[k] for k in ("generator", "supervisor", "embedder", "recovery")}
     g_state = optG.init(gser)
@@ -82,7 +81,7 @@ def test_cgan_data_parallel_matches_single_device():
             repl = NamedSharding(mesh, P())
             G, D, X_ = jax.device_put((G, D, X_), repl)
         optG, optD = optax.adam(1e-4), optax.adam(1e-4)
-        ema = jax.tree_util.tree_map(lambda a: a, G)
+        ema = G  # EMA starts as the generator (arrays are immutable)
         epoch = make_cgan_epoch(cfg, hp, optG, optD, 2, prewarm=False, mesh=mesh)
         G, bn, D, ema, _, _, logs = epoch(G, bn, D, ema, optG.init(G),
                                           optD.init(D), X_, tab, cnt,
