@@ -231,7 +231,7 @@ def test_cgan_d_steps_multiple():
         D = {"dg": disc_init(jax.random.fold_in(key, 1), cfg),
              "dl": disc_init(jax.random.fold_in(key, 2), cfg)}
         optG, optD = optax.adam(1e-4), optax.adam(1e-4)
-        ema = jax.tree_util.tree_map(lambda a: a, G)
+        ema = G  # EMA starts as the generator (arrays are immutable)
         epoch = make_cgan_epoch(cfg, hp, optG, optD, 1, prewarm=False)
         G, bn, D, ema, _, _, logs = epoch(G, bn, D, ema, optG.init(G),
                                           optD.init(D), X, tab, cnt,
@@ -307,7 +307,7 @@ def test_cgan_alternative_losses_train(gan_loss):
     D = {"dg": disc_init(jax.random.fold_in(key, 1), cfg),
          "dl": disc_init(jax.random.fold_in(key, 2), cfg)}
     optG, optD = optax.adam(1e-4), optax.adam(1e-4)
-    ema = jax.tree_util.tree_map(lambda a: a, G)
+    ema = G  # EMA starts as the generator (arrays are immutable)
     epoch = make_cgan_epoch(cfg, hp, optG, optD, 2, prewarm=False)
     G2, bn2, D2, ema2, _, _, logs = epoch(G, bn, D, ema, optG.init(G),
                                           optD.init(D), X, tab, cnt,

@@ -104,7 +104,7 @@ def test_training_steps_finite(rng, variant, K, base):
     y = np.repeat(np.arange(base, base + K), 4)
     tab, cnt = build_label_table(y, K, base)
     optG, optD = optax.adam(1e-4), optax.adam(1e-4)
-    ema = jax.tree_util.tree_map(lambda a: a, G)
+    ema = G  # EMA starts as the generator (arrays are immutable)
     epoch = make_cgan_epoch(cfg, hp, optG, optD, 2, prewarm=False)
     G2, bn2, D2, ema2, _, _, logs = epoch(
         G, bn, D, ema, optG.init(G), optD.init(D), X,
