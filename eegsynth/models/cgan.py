@@ -104,16 +104,23 @@ def disc_init(key: jax.Array, cfg: CGANConfig, dtype=jnp.float32):
     return params
 
 
-def disc_features(params, x: jax.Array, train: bool = True):
+def disc_features(params, x: jax.Array, train: bool = True, compute_dtype=None):
     """Five strided spectral-norm convs + LeakyReLU(0.2), time-mean pooled.
-    Returns (f (B,512), updated conv params)."""
+    Returns (f (B,512), updated conv params).
+
+    ``compute_dtype=bfloat16`` runs the conv trunk in bf16 (the TPU analogue of
+    the reference's AMP-on-D, CGAN/cgan.py:351,399-426) with f32 master params,
+    f32 power iteration, and the pooled features cast back to the parameter
+    dtype so the head/losses stay full precision."""
     new = dict(params)
-    h = x.astype(params["c1"]["w"].dtype)
+    pdtype = params["c1"]["w"].dtype
+    h = x.astype(compute_dtype if compute_dtype is not None else pdtype)
     for i in range(5):
         h, new[f"c{i+1}"] = sn_conv1d_apply(params[f"c{i+1}"], h, stride=2,
-                                            padding=1, train=train)
+                                            padding=1, train=train,
+                                            compute_dtype=compute_dtype)
         h = jax.nn.leaky_relu(h, 0.2)
-    return jnp.mean(h, axis=2), new
+    return jnp.mean(h.astype(pdtype), axis=2), new  # f32 pooling accumulation
 
 
 def disc_head(params, f, labels: jax.Array, cfg, train: bool = True,
@@ -151,9 +158,11 @@ def disc_head(params, f, labels: jax.Array, cfg, train: bool = True,
 
 
 def disc_apply(params, x: jax.Array, labels: jax.Array, cfg: CGANConfig,
-               train: bool = True, dropout_key: jax.Array | None = None):
-    """→ (score (B,1), acgan logits (B,K), features (B,512), updated params)."""
-    f, new = disc_features(params, x, train=train)
+               train: bool = True, dropout_key: jax.Array | None = None,
+               compute_dtype=None):
+    """→ (score (B,1), acgan logits (B,K), features (B,512), updated params).
+    ``compute_dtype``: see disc_features (bf16 trunk, full-precision head)."""
+    f, new = disc_features(params, x, train=train, compute_dtype=compute_dtype)
     score, logits, f_used, u_fc, u_cls = disc_head(params, f, labels, cfg,
                                                    train, dropout_key)
     new["fc"] = {**params["fc"], "u": u_fc}

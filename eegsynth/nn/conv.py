@@ -48,16 +48,26 @@ def sn_conv1d_init(key, in_ch: int, out_ch: int, k: int, dtype=jnp.float32):
 
 
 def sn_conv1d_apply(params, x: jax.Array, stride: int = 1, padding: int = 0,
-                    train: bool = True):
-    """Returns (y, updated params) — power iteration advances in train mode."""
+                    train: bool = True, compute_dtype=None):
+    """Returns (y, updated params) — power iteration advances in train mode.
+
+    ``compute_dtype`` (e.g. bfloat16) casts the normalized weight and runs the
+    conv in that dtype; the power iteration and its ``u`` state stay in the
+    parameter dtype (more stable than the reference's AMP, which lets autocast
+    run the power-iteration matvecs in fp16 — CGAN/cgan.py:351,399)."""
     w = params["w"]
     w2d = w.reshape(w.shape[0], -1)
     w_sn, u_new = spectral_normalize(w2d, params["u"], update=train)
+    w_sn = w_sn.reshape(w.shape)
+    b = params["b"]
+    if compute_dtype is not None:
+        w_sn, b, x = w_sn.astype(compute_dtype), b.astype(compute_dtype), \
+            x.astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
-        x, w_sn.reshape(w.shape), window_strides=(stride,),
+        x, w_sn, window_strides=(stride,),
         padding=[(padding, padding)],
         dimension_numbers=("NCH", "OIH", "NCH"))
-    y = y + params["b"][None, :, None]
+    y = y + b[None, :, None]
     return y, {**params, "u": u_new}
 
 

@@ -12,7 +12,9 @@
 TPU design: one device dispatch per epoch — a `lax.scan` over steps carrying
 (G, BN state, Dg, Dl, EMA, both optimizer states, PRNG). Balanced sampling
 runs on device from a padded per-class index table. The reference's AMP-on-D
-is unnecessary on TPU (f32 matmuls are already fast; no GradScaler needed).
+(cgan.py:351,399-426) maps to ``precision_d="bf16"``: bf16 conv trunks on the
+D update with f32 master weights/power-iteration/head — no GradScaler needed
+on TPU since bf16 keeps f32's exponent range. Default stays f32.
 Deviation noted: best-EMA saves include the live generator's BN running stats
 (the reference snapshots stale initial buffers into its EMA copy).
 """
@@ -71,9 +73,16 @@ def disc_init(key, cfg, dtype=jnp.float32):
     return _model(cfg).disc_init(key, cfg, dtype)
 
 
-def disc_apply(params, x, labels, cfg, train=True, dropout_key=None):
-    return _model(cfg).disc_apply(params, x, labels, cfg, train=train,
-                                  dropout_key=dropout_key)
+def disc_apply(params, x, labels, cfg, train=True, dropout_key=None,
+               compute_dtype=None):
+    m = _model(cfg)
+    if m is _tf_model:
+        # transformer D keeps f32 (its LayerNorms want full precision, the
+        # same ops torch autocast pins to fp32); callers gate precision_d
+        return m.disc_apply(params, x, labels, cfg, train=train,
+                            dropout_key=dropout_key)
+    return m.disc_apply(params, x, labels, cfg, train=train,
+                        dropout_key=dropout_key, compute_dtype=compute_dtype)
 
 
 def disc_features(params, x, cfg, train=True):
@@ -141,12 +150,24 @@ class CGANHParams:
     tf_depth: int = 4
     tf_heads: int = 4
     tf_patch: int = 8
+    # "bf16" runs the D-step conv trunks in bfloat16 (f32 master weights,
+    # f32 power iteration/head/losses) — the TPU analogue of the reference's
+    # AMP-on-D (cgan.py:351,399-426). R1 and the G step stay f32, exactly as
+    # the reference forces fp32 there (cgan.py:422-426 and the fp32 G step).
+    precision_d: str = "f32"     # "f32" | "bf16"
 
     def __post_init__(self):
         if self.r1_gamma is None:
             object.__setattr__(
                 self, "r1_gamma",
                 0.0 if self.gan_loss == "wgan-gp" else 0.5)
+        if self.precision_d not in ("f32", "bf16"):
+            raise ValueError(f"precision_d must be 'f32' or 'bf16', "
+                             f"got {self.precision_d!r}")
+        if self.precision_d == "bf16" and self.arch == "transformer":
+            raise ValueError("precision_d='bf16' applies to the conv "
+                             "discriminators only (the transformer D keeps "
+                             "f32 LayerNorms)")
 
 
 V2_OVERRIDES = dict(epochs=600, prewarm=5, lr_g=6e-4, lr_d=8e-5, proj_scale=0.10,
@@ -231,6 +252,9 @@ def _make_epoch_core(cfg: CGANConfig, hp: CGANHParams, optG, optD,
         raise ValueError(f"gan_loss must be one of {sorted(d_advs)}, "
                          f"got {hp.gan_loss!r}")
     d_adv, g_adv = d_advs[hp.gan_loss], g_advs[hp.gan_loss]
+    # bf16 conv trunks on the D update only (reference AMP-on-D analogue);
+    # R1 / GP / the whole G step stay f32 like the reference's fp32 forcing.
+    d_cd = jnp.bfloat16 if hp.precision_d == "bf16" else None
 
     def r1_penalty(d_params, x_in, labels):
         def score_sum(xx):
@@ -266,13 +290,17 @@ def _make_epoch_core(cfg: CGANConfig, hp: CGANHParams, optG, optD,
 
                 def d_loss_fn(D):
                     rs_g, rlog_g, _, Dg1 = disc_apply(D["dg"], real_in, labels, cfg,
-                                                      train=True, dropout_key=kd[8])
+                                                      train=True, dropout_key=kd[8],
+                                                      compute_dtype=d_cd)
                     fs_g, flog_g, _, Dg2 = disc_apply(Dg1, fake_in, labels, cfg,
-                                                      train=True, dropout_key=kd[9])
+                                                      train=True, dropout_key=kd[9],
+                                                      compute_dtype=d_cd)
                     rs_l, rlog_l, _, Dl1 = disc_apply(D["dl"], real_loc, labels, cfg,
-                                                      train=True, dropout_key=kd[10])
+                                                      train=True, dropout_key=kd[10],
+                                                      compute_dtype=d_cd)
                     fs_l, flog_l, _, Dl2 = disc_apply(Dl1, fake_loc, labels, cfg,
-                                                      train=True, dropout_key=kd[11])
+                                                      train=True, dropout_key=kd[11],
+                                                      compute_dtype=d_cd)
                     loss = (d_adv(rs_g, fs_g) + d_adv(rs_l, fs_l)
                             + hp.acgan_weight * (cross_entropy(rlog_g, labels)
                                                  + cross_entropy(rlog_l, labels)))

@@ -25,6 +25,7 @@ HP_FLAGS = {
     "lr_decay_step": int, "save_every": int, "print_every": int, "epochs_per_dispatch": int, "seed": int,
     "arch": str, "tf_dim": int, "tf_depth": int, "tf_heads": int, "tf_patch": int,
     "ckpt_format": str,  # full-state resume checkpoints: npz | orbax
+    "precision_d": str,  # f32 | bf16 (bf16 D trunks = reference AMP-on-D)
 }
 
 
@@ -61,7 +62,9 @@ def get_args():
                    help="gradient-penalty weight (wgan-gp loss only; "
                         "default: config gp_weight key, else 10.0)")
     p.add_argument("--amp-d", action="store_true", default=True,
-                   help="no-op on TPU: the D step runs f32 without a scaler")
+                   help="kept for reference CLI parity; the real control is "
+                        "--precision-d bf16 (bf16 D conv trunks, f32 masters "
+                        "— no GradScaler needed on TPU)")
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--async-ckpt", dest="async_ckpt", action="store_true",
                    help="orbax full-state checkpoints only (--ckpt-format "

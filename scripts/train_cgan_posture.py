@@ -21,6 +21,7 @@ HP_FLAGS = {
     "save_every": int, "epochs_per_dispatch": int, "seed": int,
     "arch": str, "tf_dim": int, "tf_depth": int, "tf_heads": int, "tf_patch": int,
     "ckpt_format": str,  # full-state resume checkpoints: npz | orbax
+    "precision_d": str,  # f32 | bf16 (bf16 D trunks = reference AMP-on-D)
 }
 
 
@@ -38,7 +39,8 @@ def main():
     p.add_argument("--use-diffaugment", action="store_true", default=True,
                    help="DiffAugment-1D (always on; disable with --no-diffaugment)")
     p.add_argument("--amp-d", action="store_true", default=True,
-                   help="no-op on TPU: the D step runs f32 without a scaler")
+                   help="kept for reference CLI parity; the real control is "
+                        "--precision-d bf16 (bf16 D conv trunks, f32 masters)")
     p.add_argument("--no-ema", action="store_true")
     p.add_argument("--no-diffaugment", action="store_true")
     p.add_argument("--async-ckpt", dest="async_ckpt", action="store_true",

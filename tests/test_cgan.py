@@ -366,3 +366,71 @@ def test_make_lr_d_steps_and_prewarm():
     # true epoch 10 = 5 prewarm (0 D updates) + 5 trained epochs x 8 updates
     assert d(39) == 1.0 and d(40) == 0.5
     assert make_lr(CGANHParams(), 4, 3e-4) == 3e-4  # lr_decay=1 -> constant
+
+
+def test_disc_bf16_trunk_close_to_f32(rng):
+    """precision_d='bf16' core (reference AMP-on-D analogue, cgan.py:351,
+    399-426): bf16 conv trunk with f32 masters keeps features close to the
+    f32 forward, returns f32 everywhere, and the power iteration never sees
+    bf16 (u vectors bit-equal to the f32 path's)."""
+    cfg = CGANConfig(num_classes=9)
+    D = disc_init(jax.random.key(3), cfg)
+    x = jnp.asarray(rng.uniform(0, 1, (8, 14, 768)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 9, 8))
+    s32, l32, f32_, D32 = disc_apply(D, x, labels, cfg, train=True)
+    s16, l16, f16_, D16 = disc_apply(D, x, labels, cfg, train=True,
+                                     compute_dtype=jnp.bfloat16)
+    assert s16.dtype == l16.dtype == f16_.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(D16):
+        assert leaf.dtype == jnp.float32
+    for i in range(1, 6):  # f32 power iteration in both paths -> identical u
+        np.testing.assert_array_equal(np.asarray(D16[f"c{i}"]["u"]),
+                                      np.asarray(D32[f"c{i}"]["u"]))
+    scale = float(np.abs(np.asarray(f32_)).max())
+    assert float(np.abs(np.asarray(f16_) - np.asarray(f32_)).max()) < 0.05 * scale
+    assert np.isfinite(np.asarray(s16)).all() and np.isfinite(np.asarray(l16)).all()
+
+
+def test_cgan_bf16_d_step_trains():
+    """One conv-arch epoch with precision_d='bf16' runs finite, moves both
+    nets, and every parameter (and optimizer leaf) stays f32 — bf16 exists
+    only inside the D-step forward/backward."""
+    import optax
+    from eegsynth.data.datasets import build_label_table
+    from eegsynth.train.cgan import (
+        CGANHParams, build_cfg, disc_init, generator_init, make_cgan_epoch,
+    )
+
+    rng = np.random.default_rng(11)
+    X = jnp.asarray(rng.uniform(0, 1, (18, 14, 768)).astype(np.float32))
+    y = np.repeat(np.arange(1, 10), 2)
+    tab_np, cnt_np = build_label_table(y, 9, 1)
+    tab, cnt = jnp.asarray(tab_np), jnp.asarray(cnt_np, jnp.float32)
+
+    hp = CGANHParams(batch_size=8, use_diffaugment=False, precision_d="bf16")
+    cfg = build_cfg(hp, 9)
+    key = jax.random.key(0)
+    G, bn = generator_init(key, cfg)
+    D = {"dg": disc_init(jax.random.fold_in(key, 1), cfg),
+         "dl": disc_init(jax.random.fold_in(key, 2), cfg)}
+    optG, optD = optax.adam(1e-4), optax.adam(1e-4)
+    epoch = make_cgan_epoch(cfg, hp, optG, optD, 1, prewarm=False)
+    G2, bn2, D2, ema2, gs2, ds2, logs = epoch(G, bn, D, G, optG.init(G),
+                                              optD.init(D), X, tab, cnt,
+                                              jnp.float32(0.05), jax.random.key(7))
+    assert np.isfinite(np.asarray(logs)).all()
+    for leaf in jax.tree_util.tree_leaves((G2, D2, gs2, ds2)):
+        assert leaf.dtype in (jnp.float32, jnp.int32), leaf.dtype
+    gd = max(np.abs(np.asarray(a) - np.asarray(b)).max() for a, b in
+             zip(jax.tree_util.tree_leaves(G), jax.tree_util.tree_leaves(G2)))
+    dd = max(np.abs(np.asarray(a) - np.asarray(b)).max() for a, b in
+             zip(jax.tree_util.tree_leaves(D), jax.tree_util.tree_leaves(D2)))
+    assert gd > 0 and dd > 0
+
+
+def test_precision_d_validation():
+    from eegsynth.train.cgan import CGANHParams
+    with pytest.raises(ValueError, match="precision_d"):
+        CGANHParams(precision_d="fp16")
+    with pytest.raises(ValueError, match="conv"):
+        CGANHParams(arch="transformer", precision_d="bf16")
