@@ -572,6 +572,42 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
 
     t0 = time.perf_counter()
     g_loss = d_loss = float("nan")
+    # Dispatch pipeline: chunk k+1 is enqueued BEFORE chunk k's logs are
+    # pulled, so the (already finished) log buffer transfers over the tunnel
+    # while the device runs the next chunk, and the best-loss scalar is read
+    # only at save boundaries. Per-chunk host syncs previously serialized one
+    # tunnel round-trip per dispatch with device work (BASELINE.md: the same
+    # sync-per-dispatch pattern capped a 435 steps/s computation at 34).
+    pending = None   # (first epoch, k, device logs) of the last chunk
+
+    def process_pending():
+        nonlocal pending, g_loss, d_loss
+        if pending is None:
+            return
+        ep0, k, dev_logs = pending
+        pending = None
+        logs = np.asarray(dev_logs)                  # (k, steps, 10) — one fetch
+        for i in range(k):
+            e = ep0 + i
+            diag = logs[i, :, :8].mean(axis=0)
+            g_loss, d_loss = float(logs[i, -1, 8]), float(logs[i, -1, 9])
+            if (e + 1) % hp.print_every == 0 or e == 0:
+                log(f"[{tag}] Ep {e+1}/{total_epochs} | D={d_loss:.4f} G={g_loss:.4f} | "
+                    f"Dg(R/F)={diag[0]:.2f}/{diag[1]:.2f} Dl(R/F)={diag[2]:.2f}/{diag[3]:.2f} | "
+                    f"ACGAN G(R/F)={diag[4]:.2f}/{diag[5]:.2f} L(R/F)={diag[6]:.2f}/{diag[7]:.2f}")
+            with open(metrics_csv, "a") as f:
+                f.write(f"{e+1},{g_loss},{d_loss},"
+                        + ",".join(f"{v}" for v in diag) + "\n")
+
+    def refresh_best():
+        # One scalar pull; same result as the reference's per-epoch best
+        # tracking because `best` is where-selected on device every epoch.
+        nonlocal best_g, best_dirty
+        new_best = float(best["loss"])
+        if new_best < best_g:
+            best_g = new_best
+            best_dirty = True
+
     ep = start_epoch
     while ep < total_epochs:
         prewarm = ep < hp.prewarm
@@ -584,27 +620,13 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
         keys = jax.random.split(sub, k)
         (G, bn, D, ema, g_state, d_state, best), logs = chunk_fns[prewarm](
             G, bn, D, ema, g_state, d_state, best, X, table, counts, sigmas, keys)
-        logs = np.asarray(logs)                      # (k, steps, 10) — one fetch
-        for i in range(k):
-            e = ep + i
-            diag = logs[i, :, :8].mean(axis=0)
-            g_loss, d_loss = float(logs[i, -1, 8]), float(logs[i, -1, 9])
-            if (e + 1) % hp.print_every == 0 or e == 0:
-                log(f"[{tag}] Ep {e+1}/{total_epochs} | D={d_loss:.4f} G={g_loss:.4f} | "
-                    f"Dg(R/F)={diag[0]:.2f}/{diag[1]:.2f} Dl(R/F)={diag[2]:.2f}/{diag[3]:.2f} | "
-                    f"ACGAN G(R/F)={diag[4]:.2f}/{diag[5]:.2f} L(R/F)={diag[6]:.2f}/{diag[7]:.2f}")
-            with open(metrics_csv, "a") as f:
-                f.write(f"{e+1},{g_loss},{d_loss},"
-                        + ",".join(f"{v}" for v in diag) + "\n")
+        process_pending()     # previous chunk's logs, overlapped with this one
+        pending = (ep, k, logs)
         ep += k
 
-        if not prewarm:
-            new_best = float(best["loss"])
-            if new_best < best_g:
-                best_g = new_best
-                best_dirty = True
-
         if ep % hp.save_every == 0:
+            process_pending()
+            refresh_best()
             if write_artifacts:
                 ckpt_io.save_checkpoint(
                     save_dir / f"checkpoint_epoch{ep}{ckpt_ext}",
@@ -615,6 +637,8 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
             save_generator(save_dir / f"CGAN_generator_{tag}_epoch{ep}.npz", G, bn)
             flush_best()
 
+    process_pending()
+    refresh_best()
     flush_best()
     save_generator(save_dir / f"CGAN_generator_{tag}_last.npz",
                    ema if hp.ema else G, bn)

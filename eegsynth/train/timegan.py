@@ -129,6 +129,46 @@ def _padded_batches(key, n: int, batch: int):
     return idx.reshape(nb, batch), w.reshape(nb, batch)
 
 
+def _run_logged_phase(epoch_fn, params, opt_state, X, key, n_epochs: int,
+                      tag: str, label: str, group: int = 32):
+    """Drive a per-epoch jitted phase with deferred log pulls.
+
+    Epoch dispatches enqueue asynchronously; the per-epoch loss scalars are
+    pulled and printed one GROUP behind the dispatch frontier, so the tunnel
+    round-trip of each pull overlaps the next group's device work instead of
+    serializing every epoch (a per-epoch ``float(loss)`` costs ~170 ms through
+    the remote-compile tunnel — ~45 s of pure sync over the reference's
+    120 AE + 150 supervisor epochs). Same pattern as the CGAN chunk-log
+    pipeline in train/cgan.py. RNG stream is identical to the eager loop:
+    one ``split(key)`` per epoch, in order."""
+    pending = None  # (first epoch index of the group, [device loss scalars])
+
+    def flush():
+        nonlocal pending
+        if pending is None:
+            return
+        ep0, devs = pending
+        pending = None
+        for i, v in enumerate(jax.device_get(devs)):
+            print(f"[{tag}] epoch {ep0 + i}/{n_epochs}  {label}={float(v):.5f}",
+                  flush=True)
+
+    buf, ep0 = [], 1
+    for ep in range(1, n_epochs + 1):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = epoch_fn(params, opt_state, X, sub)
+        buf.append(loss)
+        if len(buf) == group:
+            flush()                     # previous group — already finished
+            pending = (ep0, buf)
+            buf, ep0 = [], ep + 1
+    if buf:
+        flush()
+        pending = (ep0, buf)
+    flush()
+    return params, opt_state, key
+
+
 # --------------------------------------------------------------------------
 # Phase factories: each returns one jitted epoch/chunk function.
 # --------------------------------------------------------------------------
@@ -450,19 +490,15 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
         er0 = {"embedder": params["embedder"], "recovery": params["recovery"]}
         opt_state = optER.init(er0)
         ae_epoch = make_ae_epoch(hp, optER, mesh)
-        for ep in range(1, hp.ae_epochs + 1):
-            key, sub = jax.random.split(key)
-            params, opt_state, loss = ae_epoch(params, opt_state, X, sub)
-            print(f"[AE] epoch {ep}/{hp.ae_epochs}  recon={float(loss):.5f}", flush=True)
+        params, opt_state, key = _run_logged_phase(
+            ae_epoch, params, opt_state, X, key, hp.ae_epochs, "AE", "recon")
 
         # Phase 2: supervisor
         optS = _make_opt(hp.lr_g, hp.grad_clip, hp.beta1, hp.beta2)
         opt_state = optS.init(params["supervisor"])
         sup_epoch = make_sup_epoch(hp, optS, mesh)
-        for ep in range(1, hp.sup_epochs + 1):
-            key, sub = jax.random.split(key)
-            params, opt_state, loss = sup_epoch(params, opt_state, X, sub)
-            print(f"[SUP] epoch {ep}/{hp.sup_epochs}  sup={float(loss):.5f}", flush=True)
+        params, opt_state, key = _run_logged_phase(
+            sup_epoch, params, opt_state, X, key, hp.sup_epochs, "SUP", "sup")
 
     # Phase 3: adversarial
     optD, optG = make_gan_opts(hp)

@@ -194,6 +194,18 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     best_loss = jnp.full((nb,), jnp.inf, jnp.float32)
     best_step = jnp.zeros((nb,), jnp.int32)
     all_logs = []
+    # Print one chunk behind the dispatch frontier: the pull of chunk k's logs
+    # (a tunnel round-trip) overlaps chunk k+1's device work instead of
+    # serializing every dispatch. all_logs holds DEVICE arrays; one batched
+    # device_get after the loop fetches them all.
+    pending = None  # (step count, device logs) of the last dispatched chunk
+
+    def show(p):
+        p_done, p_logs = p
+        row = np.asarray(p_logs)[:, -1, :]
+        print(f"[GAN] step {p_done}/{hp.gan_steps}  mean over {nb} buckets: "
+              f"D={row[:, 0].mean():.4f} acc≈{row[:, 1].mean():.2f} "
+              f"G={row[:, 2].mean():.4f}", flush=True)
 
     prof = None
     if profile_dir is not None:
@@ -209,12 +221,15 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
                       keys, jnp.int32(done),
                       jnp.arange(1, n_steps + 1, dtype=jnp.int32), X,
                       n_valid.astype(jnp.float32))
-        all_logs.append(np.asarray(logs))          # (nb, n_steps, 8)
         done += n_steps
-        row = np.asarray(logs)[:, -1, :]
-        print(f"[GAN] step {done}/{hp.gan_steps}  mean over {nb} buckets: "
-              f"D={row[:, 0].mean():.4f} acc≈{row[:, 1].mean():.2f} "
-              f"G={row[:, 2].mean():.4f}", flush=True)
+        if pending is not None:
+            show(pending)
+        pending = (done, logs)
+        all_logs.append(logs)                      # (nb, n_steps, 8) on device
+    if pending is not None:
+        # barrier: this pull is data-dependent on the whole run, so the clock
+        # below stops only after every chunk has executed (timing protocol)
+        show(pending)
     gan_seconds = time.perf_counter() - t0
     if prof is not None:
         prof.__exit__(None, None, None)
@@ -235,7 +250,7 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     best_step, best_loss, n_valid = (host["best_step"], host["best_loss"],
                                      host["n_valid"])
     best_host = fetch_global(best_params)
-    logs_cat = np.concatenate(all_logs, axis=1)    # (nb, gan_steps, 8)
+    logs_cat = np.concatenate(jax.device_get(all_logs), axis=1)  # (nb, gan_steps, 8)
     meta_base = {"z_dim": z_dim, "h_dim": h_dim,
                  "x_dim": C, "layers": hp.layers}
     for b, name in enumerate(names if is_coordinator() else []):
