@@ -434,3 +434,36 @@ def test_precision_d_validation():
         CGANHParams(precision_d="fp16")
     with pytest.raises(ValueError, match="conv"):
         CGANHParams(arch="transformer", precision_d="bf16")
+
+
+def test_cgan_pipelined_logs_complete_with_odd_boundaries(tmp_path):
+    """Multi-epoch dispatches with a save boundary that is neither a chunk
+    multiple nor the final epoch: the deferred-log pipeline must still write
+    every epoch row exactly once, in order, and fire the boundary artifacts
+    (train/cgan.py process_pending/refresh_best paths)."""
+    from eegsynth.train.cgan import train_one_condition
+
+    rng = np.random.default_rng(3)
+    data_dir = tmp_path / "prep"
+    data_dir.mkdir()
+    for p in range(1, 10):
+        np.savez_compressed(
+            data_dir / f"posture{p}_no_exo.npz",
+            X=rng.uniform(0, 1, (6, 768, 14)).astype(np.float32),
+            posture=np.int32(p), condition="no_exo", fs=np.float32(128.0),
+            ch_names=np.array([f"ch{i}" for i in range(14)], dtype=object),
+            scale_min=np.zeros(14, np.float32),
+            scale_range=np.ones(14, np.float32))
+
+    res = train_one_condition(data_dir, tmp_path / "runs", "no_exo",
+                              epochs=5, batch_size=8, save_every=4,
+                              epochs_per_dispatch=2, print_every=1,
+                              log=lambda *a: None)
+    run_dir = tmp_path / "runs" / "no_exo"
+    rows = (run_dir / "metrics.csv").read_text().strip().split("\n")
+    assert [r.split(",")[0] for r in rows[1:]] == ["1", "2", "3", "4", "5"]
+    assert all(np.isfinite(float(v)) for r in rows[1:] for v in r.split(","))
+    assert (run_dir / "checkpoint_epoch4.npz").exists()
+    assert (run_dir / "CGAN_generator_no_exo_epoch4.npz").exists()
+    assert (run_dir / "CGAN_generator_no_exo_last.npz").exists()
+    assert np.isfinite(res["best_g"])

@@ -177,3 +177,39 @@ def test_multilayer_dropout_engages(tmp_path):
                            gan_steps=2, chunk=2, batch_size=4, layers=2,
                            dropout=0.3, acf_max_lag=4)
     assert np.isfinite(res["best_loss"])
+
+
+def test_run_logged_phase_matches_eager_loop(capsys):
+    # The deferred-log driver must be a pure pipelining change: same params,
+    # same RNG stream, and every epoch printed exactly once, in order, across
+    # group boundaries (group=3 with 8 epochs exercises full groups + tail).
+    from eegsynth.train.timegan import _run_logged_phase
+
+    def epoch_fn(params, opt_state, X, sub):
+        bump = jax.random.uniform(sub, ())
+        params = params + bump
+        return params, opt_state + 1, params * 2.0
+
+    X = jnp.zeros(())
+    p0, s0, k0 = jnp.float32(0.0), 0, jax.random.key(7)
+
+    p_ref, s_ref, k_ref = p0, s0, k0
+    for _ in range(8):
+        k_ref, sub = jax.random.split(k_ref)
+        p_ref, s_ref, _ = epoch_fn(p_ref, s_ref, X, sub)
+
+    p, s, k = _run_logged_phase(epoch_fn, p0, s0, X, k0, 8, "T", "loss",
+                                group=3)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), rtol=1e-6)
+    assert s == s_ref
+    np.testing.assert_array_equal(jax.random.key_data(k),
+                                  jax.random.key_data(k_ref))
+
+    lines = [l for l in capsys.readouterr().out.splitlines() if l]
+    assert [l.split()[2].split("/")[0] for l in lines] == [str(i) for i in range(1, 9)]
+    # printed losses are the true per-epoch values, not stale buffers
+    p_chk, k_chk = p0, k0
+    for i, line in enumerate(lines):
+        k_chk, sub = jax.random.split(k_chk)
+        p_chk = p_chk + jax.random.uniform(sub, ())
+        assert float(line.split("=")[-1]) == pytest.approx(float(p_chk) * 2, abs=1e-4)
