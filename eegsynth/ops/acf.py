@@ -24,14 +24,26 @@ def acf_per_channel(x: jax.Array, max_lag: int) -> jax.Array:
     ``mean_{B,T-lag}(xz[:, :-lag] * xz[:, lag:])``. Matches
     timeGAN/train_timegan.py:110-122 (``acf_all``). Returns (max_lag, C).
 
-    The per-lag sum ``sum_t xz[t] xz[t+lag]`` for every lag is one FFT
-    autocorrelation, so no per-lag loop survives into the compiled graph.
+    Two formulations, picked by lag count:
+
+    - small ``max_lag`` (the training-loss regime, config 48 / CLI 64): direct
+      static-slice lag products — L fused multiply-reduces over contiguous
+      slices. On the TPU this is 2.4× faster per value+grad than the FFT
+      (0.26 vs 0.61 ms at (26, 768, 14), L=48, interleaved A/B on v5e): the
+      2T-point FFT is a non-power-of-2 custom call the MXU can't help with,
+      while the slice products fuse into elementwise passes.
+    - large ``max_lag``: one FFT autocorrelation, O(T log T) per series.
     """
     B, T, C = x.shape
     max_lag = max(1, min(max_lag, T - 1))
     xm = jnp.mean(x, axis=(0, 1), keepdims=True)
     xs = jnp.std(x, axis=(0, 1), ddof=1, keepdims=True) + 1e-8
     xz = (x - xm) / xs                                        # (B, T, C)
+
+    if max_lag <= 96:
+        cols = [jnp.sum(xz[:, :T - lag, :] * xz[:, lag:, :], axis=(0, 1))
+                / (B * (T - lag)) for lag in range(1, max_lag + 1)]
+        return jnp.stack(cols, axis=0)                        # (L, C)
 
     xzt = jnp.moveaxis(xz, 1, -1)                             # (B, C, T)
     spec = jnp.fft.rfft(xzt, n=2 * T, axis=-1)

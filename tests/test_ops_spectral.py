@@ -1,6 +1,7 @@
 """Welch / ACF / covariance parity vs scipy+numpy oracles."""
 
 import numpy as np
+import pytest
 import scipy.signal as sig
 
 from eegsynth.ops.acf import acf_per_channel, mean_acf_per_channel, pearson_lag_corrs
@@ -49,10 +50,12 @@ def _acf_all_oracle(x, max_lag):
     return np.stack(out, axis=0)
 
 
-def test_acf_per_channel_matches_loop(rng):
+@pytest.mark.parametrize("max_lag", [48, 110])  # direct-slice and FFT paths
+def test_acf_per_channel_matches_loop(rng, max_lag):
     x = rng.standard_normal((6, 120, 5))
-    ours = np.asarray(acf_per_channel(x, 48))
-    np.testing.assert_allclose(ours, _acf_all_oracle(x, 48), rtol=1e-6, atol=1e-9)
+    ours = np.asarray(acf_per_channel(x, max_lag))
+    np.testing.assert_allclose(ours, _acf_all_oracle(x, max_lag),
+                               rtol=1e-6, atol=1e-9)
 
 
 def _autocorr_seq_oracle(x, maxlag):
