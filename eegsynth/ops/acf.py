@@ -66,6 +66,11 @@ def pearson_lag_corrs(x: jax.Array, max_lag: int) -> jax.Array:
     T = x.shape[-1]
     L = min(max_lag, T - 1)
     xd = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    # Pre-center each sequence: Pearson is shift-invariant, so this is exact —
+    # and it removes the catastrophic f32 cancellation of E[x²]−m² when
+    # mean ≫ std (measured: a (std 0.013, mean ~1) synthetic channel returned
+    # −1.1e5 uncentered vs the f64 oracle's −0.243; centered matches).
+    xd = xd - jnp.mean(xd, axis=-1, keepdims=True)
 
     spec = jnp.fft.rfft(xd, n=2 * T, axis=-1)
     cross = jnp.fft.irfft(spec * jnp.conj(spec), n=2 * T, axis=-1)[..., 1:L + 1]

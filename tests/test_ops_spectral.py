@@ -77,6 +77,19 @@ def test_pearson_lag_corrs(rng):
     np.testing.assert_allclose(ours, ref, atol=1e-8)
 
 
+def test_mean_acf_ill_conditioned_f32(rng):
+    # Regression: sequences with mean >> std used to hit catastrophic f32
+    # cancellation in the E[x²]−m² segment variance (a real trained-run
+    # synthetic channel measured −1.1e5 vs the f64 oracle's −0.243). The
+    # pre-centering fix must keep f32 on the f64 oracle.
+    x = (1.0 + 0.013 * rng.standard_normal((8, 768, 2))).astype(np.float32)
+    ours = np.asarray(mean_acf_per_channel(x, 96))
+    ref = [np.mean([_autocorr_seq_oracle(seq[:, c].astype(np.float64), 96)
+                    for seq in x]) for c in range(2)]
+    assert np.all(np.abs(ours) <= 1.0)
+    np.testing.assert_allclose(ours, ref, atol=5e-3)
+
+
 def test_mean_acf_per_channel(rng):
     x = rng.standard_normal((5, 128, 3)).astype(np.float64)
     x[:, :, 1] = 0.5  # constant channel triggers the std guard
