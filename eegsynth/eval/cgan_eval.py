@@ -143,10 +143,11 @@ def _acf_avg(X, max_lag=128):
     X = jnp.asarray(X)
     Xc = X - jnp.mean(X, axis=2, keepdims=True)
     T = X.shape[2]
+    L = min(max_lag, T - 1)    # lag T has zero valid samples (count 0 → inf)
     n = 1 << (2 * T - 1).bit_length()
     spec = jnp.fft.rfft(Xc, n=n, axis=2)
-    cross = jnp.fft.irfft(spec * jnp.conj(spec), n=n, axis=2)[:, :, 1:max_lag + 1]
-    counts = (T - jnp.arange(1, max_lag + 1)).astype(X.dtype)
+    cross = jnp.fft.irfft(spec * jnp.conj(spec), n=n, axis=2)[:, :, 1:L + 1]
+    counts = (T - jnp.arange(1, L + 1)).astype(X.dtype)
     return np.asarray(jnp.sum(cross, axis=0) / (X.shape[0] * counts)[None, :])
 
 

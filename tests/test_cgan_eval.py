@@ -51,3 +51,8 @@ def test_evaluate_condition_artifacts(tmp_path, rng):
     rows = list(csv.DictReader(open(tmp_path / "metrics_stats.csv")))
     assert rows[0]["level"] == "global"
     assert float(rows[0]["psd_l1"]) >= 0
+    # lag counts clamp to T-1: at T=128 the ACF L1 used to be inf (lag-128
+    # count is zero) — every stats column must be finite
+    for r in rows:
+        for k in ("psd_l1", "acf_l1", "coh_l1"):
+            assert np.isfinite(float(r[k])), (r["level"], k)
