@@ -2,9 +2,11 @@
 
 Replaces the reference's Python triple loop ``autocorr_seq`` (channels × sequences ×
 lags, timeGAN/evaluation.py:63-70) and the per-lag loop ACF loss
-(timeGAN/train_timegan.py:103-126) with one-shot batched jnp formulations built
-from FFT cross-correlation + prefix sums — exact Pearson lag correlations for all
-lags at once, O(T log T) per series instead of O(L·T) Python iterations.
+(timeGAN/train_timegan.py:103-126) with batched jnp formulations — exact Pearson
+lag correlations for all lags at once, no Python iteration in the compiled graph.
+Two formulations coexist: fused direct slice products for small lag counts (the
+training-loss regime — faster than the FFT on TPU, see ``acf_per_channel``) and
+FFT cross-correlation + prefix sums (O(T log T) per series) for large ones.
 """
 
 from __future__ import annotations

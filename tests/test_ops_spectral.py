@@ -130,4 +130,3 @@ def test_windowing_and_scaling(rng):
     xs = minmax_apply(x, mn, rg)
     assert xs.min() >= 0.0 and xs.max() <= 1.0 + 1e-6
     np.testing.assert_allclose(minmax_invert(xs, mn, rg), x, atol=1e-4)
-
