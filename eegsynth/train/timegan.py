@@ -94,6 +94,12 @@ def _multistep_lr(init: float, milestones: tuple[int, ...], gamma: float = 0.5):
     return sched
 
 
+# R1 second-derivative strategy: True = forward-over-reverse surrogate
+# (identical value & θ-gradient to the direct penalty, measured faster on
+# v5e — see BASELINE.md), False = direct reverse-over-reverse penalty.
+_R1_FWD_OVER_REV = True
+
+
 def _make_opt(lr, clip: float, beta1: float, beta2: float):
     return optax.chain(optax.clip_by_global_norm(clip), optax.adam(lr, b1=beta1, b2=beta2))
 
@@ -327,11 +333,29 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
                                           dropout=do_rate, key=dks[4])
             loss = 0.5 * (bce(d_real, y_real) + bce(d_fake, y_fake))
             if hp.r1_gamma > 0.0:
-                def score_sum(h):
-                    return jnp.sum(_disc_apply(d_params, h, train=False,
+                def score_sum(h, dp):
+                    return jnp.sum(_disc_apply(dp, h, train=False,
                                                dropout=do_rate, key=dks[5])[0])
-                grad_h = jax.grad(score_sum)(h_real_n)
-                r1 = jnp.mean(jnp.sum(grad_h.reshape(B, -1) ** 2, axis=1))
+                if _R1_FWD_OVER_REV:
+                    # R1 = mean_b ||∇_h D(h_b)||² differentiated wrt d_params.
+                    # Writing the penalty directly makes the outer
+                    # value_and_grad reverse-differentiate through the inner
+                    # reverse pass (reverse-over-reverse through the GRU
+                    # scan). Instead use the standard surrogate with the SAME
+                    # value and the SAME θ-gradient: with v = ∇_h D at
+                    # stop_grad(θ) (a constant), ∇_θ mean||∇_h D||² =
+                    # (2/B)(∂²D/∂θ∂h)ᵀ v = ∇_θ (2/B)·⟨∇_h D(h;θ), v⟩, and the
+                    # inner product is a directional derivative — one jvp. The
+                    # outer grad then reverse-differentiates a forward-mode
+                    # pass (cheap) instead of a reverse-mode one.
+                    v = jax.grad(score_sum)(
+                        h_real_n, jax.lax.stop_gradient(d_params))
+                    dir_dot = jax.jvp(lambda h: score_sum(h, d_params),
+                                      (h_real_n,), (v,))[1]
+                    r1 = (2.0 * dir_dot - jnp.sum(v * v)) / B
+                else:
+                    grad_h = jax.grad(score_sum)(h_real_n, d_params)
+                    r1 = jnp.mean(jnp.sum(grad_h.reshape(B, -1) ** 2, axis=1))
                 loss = loss + 0.5 * hp.r1_gamma * r1
             acc_real = jnp.mean((d_real > 0.5).astype(jnp.float32))
             acc_fake = jnp.mean((d_fake < 0.5).astype(jnp.float32))
