@@ -41,9 +41,9 @@ from eegsynth.losses.timegan import (
     sup_loss, throttle_scale,
 )
 from eegsynth.models.timegan import (
-    TimeGANConfig, adaptive_dims, decode, encode, fused_gen_refine,
-    fused_gen_refine_carry, gen_latent, reconstruct, refine_latent,
-    sample_noise, timegan_init,
+    TimeGANConfig, adaptive_dims, decode, encode, fused_disc_inputs,
+    fused_gen_refine, fused_gen_refine_carry, fused_reconstruct, gen_latent,
+    reconstruct, refine_latent, sample_noise, timegan_init,
 )
 from eegsynth.nn.gru import gru_stack_apply
 from eegsynth.nn.spectral_norm import sn_dense_apply
@@ -81,6 +81,16 @@ class TimeGANHParams:
     gamma_acf: float = 0.02
     acf_max_lag: int = 48
     chunk: int = 500          # GAN steps per device dispatch (ours)
+    # Fused-scan GAN step (ours): run the D-step E/G/S forwards and the G-step
+    # G→S→R / E→R recurrences as single fused scans instead of composed
+    # per-network scans. Numerics are identical (same math, same RNG stream);
+    # the tradeoff is per-step projection work inside the cell vs the HBM
+    # round-trips of the (B,T,H) latents between scans. Measured on v5e:
+    # composed wins at the sequential trainer's reference sizes (B≤64, nb=1),
+    # fused wins for the vmapped multi-bucket trainer where the effective
+    # batch is nb× larger (see BASELINE.md). Single-layer configs only
+    # (fused cells don't thread inter-layer dropout).
+    fused_step: bool = False
 
 
 def _multistep_lr(init: float, milestones: tuple[int, ...], gamma: float = 0.5):
@@ -284,6 +294,7 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
     noise_decay = (hp.inst_noise_start - hp.inst_noise_end) / max(1, hp.gan_steps)
 
     do_rate, do_active = _dropout_cfg(hp)
+    use_fused = hp.fused_step and not do_active and hp.layers == 1
 
     def one_step(B_eff, carry, step):
         # B_eff is bound per build() below (not a shared mutable closure —
@@ -310,15 +321,21 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
         B, T = x.shape[0], x.shape[1]
 
         # ---------------- D step (train_timegan.py:166-225) ----------------
-        # NOTE: fusing these three forward-only recurrences into one scan
-        # (models.timegan.fused_disc_inputs) measured 58.1 vs 58.9 steps/s on
-        # v5e — no win at reference sizes; the composed scans stay.
+        # NOTE: at the sequential trainer's sizes (nb=1, B≤64) fusing these
+        # three forward-only recurrences into one scan measured 58.1 vs 58.9
+        # steps/s on v5e — composed scans stay the default there. The vmapped
+        # multi-bucket trainer (hp.fused_step) flips the tradeoff: with nb
+        # stacked buckets the (nb,B,T,H) latents between scans are HBM
+        # round-trips that the fused cell avoids (BASELINE.md).
         z = sample_noise(k_z1, B, T, cfg.z_dim)
-        h_real = encode(params, x, dropout=do_rate, key=dks[0],
-                        train=True)                   # E frozen for D update
-        e_hat = gen_latent(params, z, dropout=do_rate, key=dks[1], train=True)
-        h_fake = refine_latent(params, e_hat, dropout=do_rate, key=dks[2],
-                               train=True)
+        if use_fused:
+            h_real, h_fake = fused_disc_inputs(params, x, z)
+        else:
+            h_real = encode(params, x, dropout=do_rate, key=dks[0],
+                            train=True)               # E frozen for D update
+            e_hat = gen_latent(params, z, dropout=do_rate, key=dks[1], train=True)
+            h_fake = refine_latent(params, e_hat, dropout=do_rate, key=dks[2],
+                                   train=True)
         h_real_n = constrain_batch(add_instance_noise(k_nr, h_real, inst), mesh)
         h_fake_n = constrain_batch(add_instance_noise(k_nf, h_fake, inst), mesh)
         y_real, y_fake = smooth_labels(k_lbl, B, hp.label_smooth)
@@ -376,16 +393,25 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
 
         def g_loss_fn(gser):
             p = {**params, **gser}
-            e2 = gen_latent(p, z2, dropout=do_rate, key=dks[6], train=True)
-            h_hat = refine_latent(p, e2, dropout=do_rate, key=dks[7], train=True)
+            if use_fused:
+                # one G→S→R scan yields both h_hat and x_hat; one E→R scan
+                # yields the reconstruction — 3 traversals instead of 6
+                h_hat, x_hat = fused_gen_refine(p, z2, with_decode=True)
+            else:
+                e2 = gen_latent(p, z2, dropout=do_rate, key=dks[6], train=True)
+                h_hat = refine_latent(p, e2, dropout=do_rate, key=dks[7],
+                                      train=True)
             d_fake, d_after = _disc_apply(params["discriminator"],
                                           add_instance_noise(k_ng, h_hat, inst),
                                           train=True, dropout=do_rate, key=dks[8])
             g_adv = bce(d_fake, jnp.ones_like(d_fake))
             g_sup = sup_loss(h_hat)
-            g_rec = recon_loss(x, reconstruct(p, x, dropout=do_rate,
-                                              key=dks[9], train=True))
-            x_hat = decode(p, h_hat, dropout=do_rate, key=dks[10], train=True)
+            if use_fused:
+                g_rec = recon_loss(x, fused_reconstruct(p, x))
+            else:
+                g_rec = recon_loss(x, reconstruct(p, x, dropout=do_rate,
+                                                  key=dks[9], train=True))
+                x_hat = decode(p, h_hat, dropout=do_rate, key=dks[10], train=True)
             cov_term = cov_loss(x_hat, x) if hp.gamma_cov > 0 else jnp.float32(0.0)
             acf_term = (acf_loss(x_hat, x, hp.acf_max_lag)
                         if hp.gamma_acf > 0 else jnp.float32(0.0))

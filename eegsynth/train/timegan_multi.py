@@ -125,6 +125,11 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     padding buckets train but write no artifacts).
     """
     out_root = Path(out_root)
+    # fused-scan GAN step is the measured winner for the vmapped trainer
+    # (66.3 vs 56.1 aggregate steps/s on v5e, BASELINE.md); numerics-identical,
+    # and make_gan_chunk falls back to composed scans where the fused cells
+    # don't apply (multi-layer / active dropout)
+    hparams.setdefault("fused_step", True)
     hp = TimeGANHParams(**hparams)
     files = bucket_paths(data_dir)
     if not files:

@@ -65,6 +65,15 @@ def main():
     ap.add_argument("--async_ckpt", action="store_true",
                     help="orbax only: overlap checkpoint writes with training "
                          "(device->host pull happens in the background)")
+    ap.add_argument("--fused_step", action="store_true", default=None,
+                    help="run the GAN step's E/G/S/R recurrences as fused "
+                         "single-scan cells (numerics-identical; wins for the "
+                         "vmapped multi-bucket trainer, where it is the "
+                         "default, loses at sequential reference sizes — see "
+                         "BASELINE.md)")
+    ap.add_argument("--no_fused_step", action="store_true",
+                    help="force composed per-network scans (overrides the "
+                         "--parallel_buckets fused default)")
     for k, typ in CONFIG_KEYS.items():
         ap.add_argument(f"--{k}", type=typ, default=None)
     args = ap.parse_args()
@@ -81,6 +90,14 @@ def main():
             hp[k] = typ(flag)
         elif k in cfg:
             hp[k] = typ(cfg[k])
+    if args.no_fused_step:
+        hp["fused_step"] = False
+    elif args.fused_step:
+        hp["fused_step"] = True
+    elif "fused_step" in cfg:
+        hp["fused_step"] = bool(cfg["fused_step"])
+    # with --parallel_buckets and no explicit setting, train_all_buckets
+    # defaults fused_step on (measured +18% aggregate — BASELINE.md)
 
     from eegsynth.data.io import bucket_paths
     from eegsynth.train.sharding import mesh_from_flags

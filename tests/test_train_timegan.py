@@ -213,3 +213,39 @@ def test_run_logged_phase_matches_eager_loop(capsys):
         k_chk, sub = jax.random.split(k_chk)
         p_chk = p_chk + jax.random.uniform(sub, ())
         assert float(line.split("=")[-1]) == pytest.approx(float(p_chk) * 2, abs=1e-4)
+
+
+def test_fused_step_matches_composed_chunk():
+    """hp.fused_step=True must reproduce the composed-scan GAN chunk: the
+    fused cells compute the same math on the same RNG stream, so logs and
+    updated parameters agree to float tolerance."""
+    from eegsynth.train.timegan import (
+        TimeGANHParams, make_gan_chunk, make_gan_opts,
+    )
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.uniform(0, 1, (10, 24, 3)).astype(np.float32))
+    cfg = TimeGANConfig(x_dim=3, z_dim=16, h_dim=24)
+    params = timegan_init(jax.random.key(0), cfg)
+
+    outs = {}
+    for fused in (False, True):
+        hp = TimeGANHParams(batch_size=4, gan_steps=3, chunk=3, acf_max_lag=4,
+                            fused_step=fused)
+        optD, optG = make_gan_opts(hp)
+        d_state = optD.init(params["discriminator"])
+        gser = {k: params[k]
+                for k in ("generator", "supervisor", "embedder", "recovery")}
+        g_state = optG.init(gser)
+        chunk = make_gan_chunk(cfg, hp, optD, optG, None)(4)
+        (p, *_), logs = chunk(params, d_state, g_state, params,
+                              jnp.float32(np.inf), jnp.int32(0),
+                              jax.random.key(7), jnp.int32(0),
+                              jnp.arange(1, 4, dtype=jnp.int32), X)
+        outs[fused] = (p, np.asarray(logs))
+
+    np.testing.assert_allclose(outs[True][1], outs[False][1],
+                               rtol=2e-4, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[True][0]),
+                    jax.tree_util.tree_leaves(outs[False][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
