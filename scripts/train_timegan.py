@@ -59,6 +59,9 @@ def main():
                     help="shard the batch over all local devices (data parallel)")
     ap.add_argument("--multihost", action="store_true",
                     help="jax.distributed.initialize and span the whole slice")
+    ap.add_argument("--platform", choices=["default", "cpu"], default="default",
+                    help="'cpu' pins the CPU backend (jax_platforms) — smoke "
+                         "runs / CI while the TPU is busy or unreachable")
     ap.add_argument("--ckpt_format", choices=("npz", "orbax"), default="npz",
                     help="checkpoint backend: flat-NPZ (reference-contract "
                          "default) or an orbax directory per checkpoint")
@@ -77,6 +80,12 @@ def main():
     for k, typ in CONFIG_KEYS.items():
         ap.add_argument(f"--{k}", type=typ, default=None)
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        # pin BEFORE backend init (env JAX_PLATFORMS is overridden by the
+        # container sitecustomize; the config knob is authoritative)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     cfg = load_config(Path(args.config)) if args.config else {}
     data_dir = Path(args.data_dir or cfg.get("data_dir", "./preprocessed"))
