@@ -147,9 +147,16 @@ def main():
     args = ap.parse_args()
 
     extra = _stage_args(args.stage_arg)
-    work = Path(args.work_dir)
+    # Resolve user paths against the caller's cwd NOW: stage subprocesses run
+    # with cwd=REPO, so a relative --work_dir/--data_dir/--raw_root/--config
+    # passed through verbatim would resolve differently inside the stages.
+    work = Path(args.work_dir).resolve()
     work.mkdir(parents=True, exist_ok=True)
-    data_dir = work / "preprocessed" if args.raw_root else Path(args.data_dir)
+    if args.raw_root:
+        args.raw_root = str(Path(args.raw_root).resolve())
+    if args.config:
+        args.config = str(Path(args.config).resolve())
+    data_dir = work / "preprocessed" if args.raw_root else Path(args.data_dir).resolve()
     runs_dir = work / "timegan_runs"
     eval_dir = work / "eval_out"
     fatigue_dir = work / "fatigue"
