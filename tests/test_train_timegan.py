@@ -249,3 +249,42 @@ def test_fused_step_matches_composed_chunk():
                     jax.tree_util.tree_leaves(outs[False][0])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_r1_surrogate_matches_direct_penalty(monkeypatch):
+    """The forward-over-reverse R1 surrogate (the shipped default,
+    train/timegan.py:_R1_FWD_OVER_REV) must reproduce the direct
+    reverse-over-reverse penalty: same chunk logs (incl. d_loss, which
+    contains the R1 term) and same updated parameters after real optimizer
+    steps. They compute the identical value/θ-gradient by construction
+    (BASELINE.md derivation); this pins the equivalence as a regression test."""
+    import eegsynth.train.timegan as tt
+
+    rng = np.random.default_rng(5)
+    X = jnp.asarray(rng.uniform(0, 1, (10, 24, 3)).astype(np.float32))
+    cfg = TimeGANConfig(x_dim=3, z_dim=16, h_dim=24)
+    params = timegan_init(jax.random.key(1), cfg)
+    hp = tt.TimeGANHParams(batch_size=4, gan_steps=3, chunk=3, acf_max_lag=4,
+                           r1_gamma=1.0)
+
+    outs = {}
+    for fwd_over_rev in (False, True):
+        monkeypatch.setattr(tt, "_R1_FWD_OVER_REV", fwd_over_rev)
+        optD, optG = tt.make_gan_opts(hp)
+        d_state = optD.init(params["discriminator"])
+        gser = {k: params[k]
+                for k in ("generator", "supervisor", "embedder", "recovery")}
+        g_state = optG.init(gser)
+        chunk = tt.make_gan_chunk(cfg, hp, optD, optG, None)(4)
+        (p, *_), logs = chunk(params, d_state, g_state, params,
+                              jnp.float32(np.inf), jnp.int32(0),
+                              jax.random.key(9), jnp.int32(0),
+                              jnp.arange(1, 4, dtype=jnp.int32), X)
+        outs[fwd_over_rev] = (p, np.asarray(logs))
+
+    np.testing.assert_allclose(outs[True][1], outs[False][1],
+                               rtol=2e-4, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[True][0]),
+                    jax.tree_util.tree_leaves(outs[False][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
