@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
-"""Convert reference PyTorch TimeGAN checkpoints to eegsynth NPZ checkpoints.
+"""Convert reference PyTorch checkpoints (TimeGAN + CGAN) to eegsynth NPZ.
 
-The reference saves ``torch.save({"step", "model", "optG", "optD", "meta"})``
+TimeGAN: the reference saves ``torch.save({"step","model","optG","optD","meta"})``
 per run dir (reference train_timegan.py:58-61); this tool rewrites the model
 weights into eegsynth's flat-pytree NPZ format so trained reference models can
 be used directly for synthesis (scripts/generate_long_synth.py) and evaluation
@@ -14,6 +14,26 @@ conversion is a pure key remap:
     {generator,supervisor}.proj.{weight,bias}           ->  ....proj.{w,b}
     discriminator.fc.{weight_orig,bias,weight_u}        ->  discriminator.fc.{w,b,u}
 
+CGAN (``--family cgan``): the reference saves bare generator/discriminator
+state_dicts (cgan.py:499-514, cgan_v2.py:359-363) named
+``CGAN_generator_<tag>_{best,epochN,last}.pth`` and
+``CGAN_{globalD,localD}_<tag>_best.pth`` under ``<runs>/<tag>/`` (tag =
+condition for v1, posture{p} for v2). Those map onto our conv CGAN params:
+
+    proj.{weight,bias}                  -> proj.{w,b}
+    up{i}.conv.{weight,bias}            -> up{i}.conv.{w,b}
+    up{i}.cbn.embed.weight              -> up{i}.cbn.embed
+    up{i}.cbn.bn.running_{mean,var}     -> bn state up{i}.{mean,var}
+    to_out.{weight,bias}                -> to_out.{w,b}
+    c{i}.{weight_orig,bias,weight_u}    -> c{i}.{w,b,u}   (v dropped: re-derived)
+    {fc,cls}.{weight_orig,bias,weight_u}-> {fc,cls}.{w,b,u}
+    embed.weight / std_weight           -> embed / std_weight
+
+with the reference's own legacy-key renames applied first (u1.->up1.,
+out.->to_out., eval_cgan.py:90-93). Converted generators load through
+``train.cgan.load_generator`` (variant inferred from the class count), so
+``scripts/train_cgan.py generate`` / eval / serving consume them directly.
+
 Optimizer state is NOT converted (torch Adam slots are keyed by parameter id,
 and the reference has no TimeGAN mid-train resume anyway) — converted
 checkpoints are for inference/eval, not for resuming training.
@@ -21,9 +41,11 @@ checkpoints are for inference/eval, not for resuming training.
 Usage:
     python scripts/convert_torch_ckpt.py --runs_dir <reference>/timeGAN/timegan_runs \
         --out_dir ./timegan_runs_converted [--which best|latest|both]
+    python scripts/convert_torch_ckpt.py --family cgan \
+        --runs_dir <reference>/CGAN/cgan_runs --out_dir ./cgan_runs_converted
 
 Full-model numerical parity of converted checkpoints against torch oracles is
-asserted in tests/test_convert_ckpt.py.
+asserted in tests/test_convert_ckpt.py (TimeGAN) and tests/test_convert_cgan.py.
 """
 
 import argparse
@@ -81,6 +103,95 @@ def convert_timegan_model(torch_model: dict) -> dict:
     return params
 
 
+def _arr(t):
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+                      dtype=np.float32)
+
+
+def _legacy_cgan_renames(sd: dict) -> dict:
+    """The reference's own lenient loader's key renames for older checkpoints
+    (safe_load_generator, eval_cgan.py:90-93): u{i}. -> up{i}., out. -> to_out."""
+    out = {}
+    for k, v in sd.items():
+        for i in range(1, 6):
+            if k.startswith(f"u{i}."):
+                k = f"up{i}." + k[len(f"u{i}."):]
+                break
+        if k.startswith("out."):
+            k = "to_out." + k[len("out."):]
+        out[k] = v
+    return out
+
+
+def convert_cgan_generator(sd: dict):
+    """Reference CGAN Generator state_dict (cgan.py:205-223 / cgan_v2.py:152-165)
+    → (params, bn_state, num_classes, noise_dim). Weight layouts are identical
+    (torch Linear (out,in) / Conv1d OIW); BatchNorm running stats become the
+    explicit CBN state our apply threads."""
+    sd = _legacy_cgan_renames(sd)
+    num_classes = int(sd["up1.cbn.embed.weight"].shape[0])
+    noise_dim = int(sd["proj.weight"].shape[1]) - num_classes
+    params = {"proj": {"w": _arr(sd["proj.weight"]), "b": _arr(sd["proj.bias"])}}
+    bn_state = {}
+    for i in range(1, 6):
+        params[f"up{i}"] = {
+            "conv": {"w": _arr(sd[f"up{i}.conv.weight"]),
+                     "b": _arr(sd[f"up{i}.conv.bias"])},
+            "cbn": {"embed": _arr(sd[f"up{i}.cbn.embed.weight"])},
+        }
+        bn_state[f"up{i}"] = {"mean": _arr(sd[f"up{i}.cbn.bn.running_mean"]),
+                              "var": _arr(sd[f"up{i}.cbn.bn.running_var"])}
+    params["to_out"] = {"w": _arr(sd["to_out.weight"]), "b": _arr(sd["to_out.bias"])}
+    return params, bn_state, num_classes, noise_dim
+
+
+def convert_cgan_disc(sd: dict):
+    """Reference DiscBase state_dict (cgan.py:225-252 / cgan_v2.py:167-192)
+    → (params, num_classes). Spectral-norm v vectors are dropped (re-derived
+    from (W, u) at apply time, same as the TimeGAN fc conversion above)."""
+    params = {}
+    for i in range(1, 6):
+        params[f"c{i}"] = {"w": _arr(sd[f"c{i}.weight_orig"]),
+                           "b": _arr(sd[f"c{i}.bias"]),
+                           "u": _arr(sd[f"c{i}.weight_u"])}
+    for head in ("fc", "cls"):
+        params[head] = {"w": _arr(sd[f"{head}.weight_orig"]),
+                        "b": _arr(sd[f"{head}.bias"]),
+                        "u": _arr(sd[f"{head}.weight_u"])}
+    params["embed"] = _arr(sd["embed.weight"])
+    params["std_weight"] = _arr(sd["std_weight"])
+    return params, int(params["embed"].shape[0])
+
+
+def convert_cgan_file(pt_path: Path, out_path: Path) -> dict:
+    """Convert one CGAN .pth (generator or discriminator, by filename)."""
+    import torch
+    from eegsynth.train.checkpoint import save_checkpoint
+
+    sd = torch.load(pt_path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    m = re.match(r"CGAN_(generator|globalD|localD|discriminator)_(.+?)"
+                 r"_(best|last|epoch\d+)$", pt_path.stem)
+    if not m:
+        raise KeyError(f"unrecognized CGAN checkpoint name: {pt_path.name}")
+    kind, tag = m.group(1), m.group(2)
+    if kind == "generator":
+        params, bn, num_classes, noise_dim = convert_cgan_generator(sd)
+        variant = "v1" if num_classes != 2 else "v2"
+        meta = {"tag": tag, "variant": variant, "num_classes": num_classes,
+                "noise_dim": noise_dim, "arch": "conv",
+                "proj_scale": 0.25 if variant == "v1" else 0.10,
+                "converted_from": pt_path.name, "model_only": True}
+        save_checkpoint(out_path, {"model": params, "bn": bn}, meta)
+    else:
+        params, num_classes = convert_cgan_disc(sd)
+        meta = {"tag": tag, "num_classes": num_classes,
+                "converted_from": pt_path.name, "model_only": True}
+        save_checkpoint(out_path, {"model": params}, meta)
+    return meta
+
+
 def convert_file(pt_path: Path, out_path: Path) -> dict:
     """Convert one torch checkpoint file; returns its meta."""
     import torch
@@ -99,13 +210,35 @@ def convert_file(pt_path: Path, out_path: Path) -> dict:
 def main():
     ap = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     ap.add_argument("--runs_dir", type=str, required=True,
-                    help="reference timegan_runs/ with posture*_{no,with}_exo dirs")
+                    help="reference timegan_runs/ with posture*_{no,with}_exo dirs, "
+                         "or (--family cgan) cgan_runs/ with per-tag dirs")
     ap.add_argument("--out_dir", type=str, required=True)
+    ap.add_argument("--family", type=str, default="timegan",
+                    choices=["timegan", "cgan"])
     ap.add_argument("--which", type=str, default="both",
-                    choices=["best", "latest", "both"])
+                    choices=["best", "latest", "both"],
+                    help="timegan family only; cgan converts every *.pth found")
     args = ap.parse_args()
 
     runs_root, out_root = Path(args.runs_dir), Path(args.out_dir)
+
+    if args.family == "cgan":
+        n = 0
+        for src in sorted(runs_root.rglob("CGAN_*.pth")):
+            dst = out_root / src.parent.relative_to(runs_root) / (src.stem + ".npz")
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            try:
+                meta = convert_cgan_file(src, dst)
+            except KeyError as e:
+                print(f"[SKIP] {src.relative_to(runs_root)}: {e}", flush=True)
+                continue
+            print(f"[OK] {src.relative_to(runs_root)} -> {dst}  "
+                  f"(classes={meta['num_classes']})", flush=True)
+            n += 1
+        if n == 0:
+            raise SystemExit(f"No CGAN checkpoints converted under {runs_root}")
+        print(f"Converted {n} checkpoints into {out_root}")
+        return
     names = {"best": ["ckpt_best.pt"], "latest": ["ckpt_latest.pt"],
              "both": ["ckpt_best.pt", "ckpt_latest.pt"]}[args.which]
 
