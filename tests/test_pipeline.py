@@ -116,3 +116,18 @@ def test_dry_run_and_bad_stage(corpus, tmp_path):
          "--work_dir", str(tmp_path / "w"), "--stages", "nosuch"],
         cwd=REPO, capture_output=True, text=True, timeout=120)
     assert bad.returncode != 0 and "Unknown stage" in bad.stderr
+
+
+def test_relative_paths_resolve_against_caller_cwd(corpus, tmp_path):
+    """Stage subprocesses run with cwd=REPO, so relative --work_dir/--data_dir
+    must be resolved against the CALLER's cwd up front (regression: outputs
+    previously split between the caller's tree and the repo tree)."""
+    root, data, cfg = corpus
+    import shutil
+    shutil.copytree(data, tmp_path / "data")
+    r = subprocess.run(
+        [sys.executable, str(PIPELINE), "--data_dir", "data",
+         "--work_dir", "w", "--dry_run"],
+        cwd=tmp_path, capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert f"work_dir={tmp_path / 'w'}" in r.stdout
