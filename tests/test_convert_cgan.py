@@ -177,3 +177,38 @@ def test_converted_file_loads_through_load_generator(tmp_path):
     ours, _ = generator_apply(G, bn, jnp.asarray(z), jnp.asarray(labels),
                               cfg, train=False)
     np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-5)
+
+
+def test_v2_two_class_checkpoint_infers_variant(tmp_path):
+    """A per-posture (2-condition-class) generator checkpoint
+    (cgan_v2.py:152-165, saved :359-363) converts with variant=v2 and the v2
+    proj_scale, and loads through load_generator with the right config."""
+    from eegsynth.train.cgan import load_generator
+
+    g = torch.Generator().manual_seed(11)
+    chans = (512, 256, 128, 64, 32, 16)
+    sd = {"proj.weight": torch.randn(512 * 24, NOISE + 2, generator=g) * 0.05,
+          "proj.bias": torch.randn(512 * 24, generator=g) * 0.05}
+    for i in range(1, 6):
+        ci, co = chans[i - 1], chans[i]
+        sd[f"up{i}.conv.weight"] = torch.randn(co, ci, 3, generator=g) * 0.05
+        sd[f"up{i}.conv.bias"] = torch.randn(co, generator=g) * 0.05
+        sd[f"up{i}.cbn.embed.weight"] = torch.cat(
+            [torch.ones(2, co), torch.zeros(2, co)], dim=1)
+        sd[f"up{i}.cbn.bn.running_mean"] = torch.zeros(co)
+        sd[f"up{i}.cbn.bn.running_var"] = torch.ones(co)
+    sd["to_out.weight"] = torch.randn(14, 16, 3, generator=g) * 0.05
+    sd["to_out.bias"] = torch.randn(14, generator=g) * 0.05
+
+    src = tmp_path / "CGAN_generator_posture3_best.pth"
+    torch.save(sd, src)
+    dst = tmp_path / "CGAN_generator_posture3_best.npz"
+    meta = convert_cgan_file(src, dst)
+    assert (meta["variant"], meta["num_classes"], meta["tag"],
+            meta["proj_scale"]) == ("v2", 2, "posture3", 0.10)
+
+    G, bn, cfg, _ = load_generator(dst)
+    assert (cfg.variant, cfg.num_classes, cfg.proj_scale) == ("v2", 2, 0.10)
+    x, _ = generator_apply(G, bn, jnp.zeros((2, NOISE), jnp.float32),
+                           jnp.array([0, 1]), cfg, train=False)
+    assert x.shape == (2, 14, 768) and bool(jnp.isfinite(x).all())
