@@ -10,12 +10,15 @@ Stats are always computed on the UNscaled values; scaling is display-only.
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 from pathlib import Path
 
 import numpy as np
 from scipy.stats import ttest_ind
+
+logger = logging.getLogger(__name__)
 
 # Frontal order is AF3,AF4,F3,F4,FC5,FC6,F7,F8 — every reference fatigue
 # script's REGION_ORDER (t_test.py:39-45); FC5/FC6 come BEFORE F7/F8
@@ -82,8 +85,15 @@ def welch_ttest_per_channel(a: np.ndarray | None, b: np.ndarray | None,
         try:
             t[ci], p[ci] = ttest_ind(a[:, ci], b[:, ci], equal_var=False,
                                      nan_policy="omit")
-        except Exception:
-            pass
+        except (ValueError, TypeError) as exc:
+            # older scipy raises on degenerate columns; leave NaN but say so
+            logger.warning("welch_ttest_per_channel: skipping channel %d (%s)",
+                           ci, exc)
+            continue
+        if not np.isfinite(p[ci]):
+            # modern scipy returns NaN for <2 valid samples / all-NaN columns
+            logger.warning("welch_ttest_per_channel: channel %d produced a NaN "
+                           "p-value (insufficient or degenerate data)", ci)
     return t, p
 
 
@@ -207,6 +217,11 @@ def paired_ttest_real_vs_fake(tbr_real: np.ndarray, tbr_fake: np.ndarray):
     for ci in range(tbr_real.shape[1]):
         try:
             t[ci], p[ci] = ttest_rel(tbr_real[:n, ci], tbr_fake[:n, ci])
-        except Exception:
-            pass
+        except (ValueError, TypeError) as exc:
+            logger.warning("paired_ttest_real_vs_fake: skipping channel %d (%s)",
+                           ci, exc)
+            continue
+        if not np.isfinite(p[ci]):
+            logger.warning("paired_ttest_real_vs_fake: channel %d produced a "
+                           "NaN p-value (insufficient or degenerate data)", ci)
     return t, p

@@ -160,7 +160,7 @@ def run_preprocess(root, out, fs: float = 128.0, epoch_sec: float = 6.0,
     out_dir = Path(out)
     out_dir.mkdir(parents=True, exist_ok=True)
     epoch_len_samples = int(round(epoch_sec * round(epoch_fs_target)))
-    log(f"Using fixed epoch length: {epoch_len_samples} samples "
+    log(f"fixed epoch length = {epoch_len_samples} samples "
         f"(~{epoch_sec}s @ {round(epoch_fs_target)} Hz)")
 
     files = discover_csvs(Path(root))
@@ -197,11 +197,11 @@ def run_preprocess(root, out, fs: float = 128.0, epoch_sec: float = 6.0,
         pack["participant"].append(np.full((epochs.shape[0],), meta["participant"], np.int32))
         pack["trial"].append(np.full((epochs.shape[0],), meta["trial"], np.int32))
         pack["fs"].append(meta["fs"])
-        log(f"[OK] {fp.name}: fs≈{meta['fs']:.1f}Hz | epochs={epochs.shape[0]} | "
-            f"notch={meta['notch']:.0f}Hz | ch={len(meta['ch_names'])}")
+        log(f"done {fp.name}: fs~{meta['fs']:.1f}Hz, {epochs.shape[0]} epochs, "
+            f"notch {meta['notch']:.0f}Hz, {len(meta['ch_names'])} channels")
 
     if dry_run:
-        log("Dry run complete. No files were saved.")
+        log("dry run: nothing written to disk")
         return []
 
     index_rows = []
@@ -218,7 +218,7 @@ def run_preprocess(root, out, fs: float = 128.0, epoch_sec: float = 6.0,
             posture=posture, condition=cond, fs=fs_bucket,
             ch_names=pack["ch_names"], scale_min=mn, scale_range=rng,
             epoch_len_samples=epoch_len_samples))
-        log(f"Saved {out_fp}  shape={Xs.shape}  fs≈{fs_bucket:.2f}Hz")
+        log(f"wrote {out_fp} (shape {Xs.shape}, fs~{fs_bucket:.2f}Hz)")
         index_rows.append({"posture": posture, "condition": cond,
                            "n_epochs": int(Xs.shape[0]), "seq_len": int(Xs.shape[1]),
                            "n_channels": int(Xs.shape[2]),
@@ -226,7 +226,8 @@ def run_preprocess(root, out, fs: float = 128.0, epoch_sec: float = 6.0,
 
     if index_rows:
         idx_fp = write_prep_index(out_dir, index_rows)
-        log(f"\nWrote index CSV: {idx_fp}")
+        log(f"\nindex CSV at {idx_fp}")
     else:
-        log("\nNo buckets produced. Check filename patterns and channel headers.")
+        log("\nnothing matched: zero buckets assembled — verify the CSV naming "
+            "scheme and channel headers")
     return index_rows

@@ -77,6 +77,63 @@ def test_welch_ttest_and_stars(rng):
     assert sig_stars(np.nan) == ""
 
 
+def test_welch_ttest_malformed_channel_logs_and_skips(rng, caplog):
+    """An all-NaN channel must yield NaN WITH a logged diagnostic (never a
+    silent pass) and must not poison the healthy channels."""
+    import logging
+    import warnings
+    a = rng.standard_normal((6, 2))
+    b = rng.standard_normal((6, 2)) + 5.0
+    a[:, 0] = np.nan
+    with caplog.at_level(logging.WARNING, logger="eegsynth.analysis.ttests"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # scipy SmallSampleWarning
+            t, p = welch_ttest_per_channel(a, b, 2)
+    assert np.isnan(t[0]) and np.isnan(p[0])
+    assert np.isfinite(t[1]) and p[1] < 0.05
+    assert any("channel 0" in r.getMessage() for r in caplog.records)
+
+
+def test_welch_ttest_raise_path_logs_and_skips(rng, caplog, monkeypatch):
+    """Older scipy raises ValueError on degenerate columns — the except path
+    must log and leave NaN rather than swallow silently."""
+    import logging
+    import eegsynth.analysis.ttests as tt
+
+    real_ttest = tt.ttest_ind
+
+    def raising(x, y, **kw):
+        if np.isnan(x).all():
+            raise ValueError("zero-size array")
+        return real_ttest(x, y, **kw)
+
+    monkeypatch.setattr(tt, "ttest_ind", raising)
+    a = rng.standard_normal((6, 2))
+    b = rng.standard_normal((6, 2)) + 5.0
+    a[:, 0] = np.nan
+    with caplog.at_level(logging.WARNING, logger="eegsynth.analysis.ttests"):
+        t, p = tt.welch_ttest_per_channel(a, b, 2)
+    assert np.isnan(t[0]) and np.isnan(p[0])
+    assert np.isfinite(t[1]) and p[1] < 0.05
+    assert any("skipping channel 0" in r.getMessage() for r in caplog.records)
+
+
+def test_paired_ttest_malformed_channel_logs_and_skips(rng, caplog):
+    import logging
+    import warnings
+    from eegsynth.analysis.ttests import paired_ttest_real_vs_fake
+    a = rng.standard_normal((6, 2))
+    b = rng.standard_normal((6, 2)) + 5.0
+    a[:, 0] = np.nan
+    with caplog.at_level(logging.WARNING, logger="eegsynth.analysis.ttests"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            t, p = paired_ttest_real_vs_fake(a, b)
+    assert np.isnan(t[0]) and np.isnan(p[0])
+    assert np.isfinite(t[1])
+    assert any("channel 0" in r.getMessage() for r in caplog.records)
+
+
 def test_display_scales():
     groups = {"RN": np.full((10, 2), 4.0), "RW": np.full((10, 2), 6.0),
               "SN": np.full((10, 2), 2.0), "SW": np.full((10, 2), 3.0)}
