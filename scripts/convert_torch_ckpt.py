@@ -110,7 +110,11 @@ def _arr(t):
 
 def _legacy_cgan_renames(sd: dict) -> dict:
     """The reference's own lenient loader's key renames for older checkpoints
-    (safe_load_generator, eval_cgan.py:90-93): u{i}. -> up{i}., out. -> to_out."""
+    (safe_load_generator, eval_cgan.py:90-93): u{i}. -> up{i}., out. -> to_out.
+    Plus the v2/v3 CBN attribute-name difference: v1's CBN1d calls its
+    embedding ``self.embed`` (cgan.py:185) but v2/v3's calls it ``self.emb``
+    (cgan_v2.py:137), so real v2 generator state_dicts carry
+    ``up{i}.cbn.emb.weight`` keys — normalize those to ``.cbn.embed.``."""
     out = {}
     for k, v in sd.items():
         for i in range(1, 6):
@@ -119,6 +123,7 @@ def _legacy_cgan_renames(sd: dict) -> dict:
                 break
         if k.startswith("out."):
             k = "to_out." + k[len("out."):]
+        k = k.replace(".cbn.emb.", ".cbn.embed.")
         out[k] = v
     return out
 
@@ -163,12 +168,28 @@ def convert_cgan_disc(sd: dict):
     return params, int(params["embed"].shape[0])
 
 
+def _infer_cgan_variant(tag: str, num_classes: int) -> str:
+    """v1 trains one model per condition (tags 'no_exo'/'with_exo', 9 posture
+    classes, proj_scale 0.25 — cgan.py:227); v2/v3 one per posture (tags
+    'posture<p>', 2 condition classes, proj_scale 0.10 — cgan_v2.py:168).
+    The run-dir tag shape is the primary signal so a hypothetical 2-class
+    v1-style run is not mislabeled; class count is the fallback."""
+    if re.fullmatch(r"posture\d+", tag):
+        return "v2"
+    if tag in ("no_exo", "with_exo"):
+        return "v1"
+    return "v1" if num_classes != 2 else "v2"
+
+
 def convert_cgan_file(pt_path: Path, out_path: Path) -> dict:
     """Convert one CGAN .pth (generator or discriminator, by filename)."""
     import torch
     from eegsynth.train.checkpoint import save_checkpoint
 
-    sd = torch.load(pt_path, map_location="cpu", weights_only=False)
+    # CGAN checkpoints are bare tensor state_dicts (cgan.py:499-514), which
+    # load fine under the safe unpickler — no reason to run arbitrary pickle
+    # code from an untrusted tree here.
+    sd = torch.load(pt_path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     m = re.match(r"CGAN_(generator|globalD|localD|discriminator)_(.+?)"
@@ -178,7 +199,7 @@ def convert_cgan_file(pt_path: Path, out_path: Path) -> dict:
     kind, tag = m.group(1), m.group(2)
     if kind == "generator":
         params, bn, num_classes, noise_dim = convert_cgan_generator(sd)
-        variant = "v1" if num_classes != 2 else "v2"
+        variant = _infer_cgan_variant(tag, num_classes)
         meta = {"tag": tag, "variant": variant, "num_classes": num_classes,
                 "noise_dim": noise_dim, "arch": "conv",
                 "proj_scale": 0.25 if variant == "v1" else 0.10,
@@ -197,7 +218,12 @@ def convert_file(pt_path: Path, out_path: Path) -> dict:
     import torch
     from eegsynth.train.checkpoint import save_checkpoint
 
-    sd = torch.load(pt_path, map_location="cpu", weights_only=False)
+    try:
+        sd = torch.load(pt_path, map_location="cpu", weights_only=True)
+    except Exception:
+        # TimeGAN checkpoints carry a meta dict that may need the full
+        # unpickler (train_timegan.py:58-61); fall back for those only.
+        sd = torch.load(pt_path, map_location="cpu", weights_only=False)
     params = convert_timegan_model(sd["model"])
     meta = {**sd.get("meta", {}), "step": int(sd.get("step", 0)),
             "x_dim": int(params["embedder"]["gru"][0]["w_ih"].shape[1]),

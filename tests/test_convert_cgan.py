@@ -179,13 +179,12 @@ def test_converted_file_loads_through_load_generator(tmp_path):
     np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-5)
 
 
-def test_v2_two_class_checkpoint_infers_variant(tmp_path):
-    """A per-posture (2-condition-class) generator checkpoint
-    (cgan_v2.py:152-165, saved :359-363) converts with variant=v2 and the v2
-    proj_scale, and loads through load_generator with the right config."""
-    from eegsynth.train.cgan import load_generator
-
-    g = torch.Generator().manual_seed(11)
+def _random_v2_gen_state_dict(seed=11):
+    """Reference-accurate v2 generator state_dict: per-posture 2-class model
+    whose CBN embedding attribute is ``emb`` (cgan_v2.py:137), NOT v1's
+    ``embed`` (cgan.py:185) — real v2 checkpoints carry
+    ``up{i}.cbn.emb.weight`` keys."""
+    g = torch.Generator().manual_seed(seed)
     chans = (512, 256, 128, 64, 32, 16)
     sd = {"proj.weight": torch.randn(512 * 24, NOISE + 2, generator=g) * 0.05,
           "proj.bias": torch.randn(512 * 24, generator=g) * 0.05}
@@ -193,13 +192,26 @@ def test_v2_two_class_checkpoint_infers_variant(tmp_path):
         ci, co = chans[i - 1], chans[i]
         sd[f"up{i}.conv.weight"] = torch.randn(co, ci, 3, generator=g) * 0.05
         sd[f"up{i}.conv.bias"] = torch.randn(co, generator=g) * 0.05
-        sd[f"up{i}.cbn.embed.weight"] = torch.cat(
-            [torch.ones(2, co), torch.zeros(2, co)], dim=1)
-        sd[f"up{i}.cbn.bn.running_mean"] = torch.zeros(co)
-        sd[f"up{i}.cbn.bn.running_var"] = torch.ones(co)
+        sd[f"up{i}.cbn.emb.weight"] = torch.cat(
+            [1 + 0.1 * torch.randn(2, co, generator=g),
+             0.1 * torch.randn(2, co, generator=g)], dim=1)
+        sd[f"up{i}.cbn.bn.running_mean"] = 0.1 * torch.randn(co, generator=g)
+        sd[f"up{i}.cbn.bn.running_var"] = 1 + 0.3 * torch.rand(co, generator=g)
+        sd[f"up{i}.cbn.bn.num_batches_tracked"] = torch.tensor(3)
     sd["to_out.weight"] = torch.randn(14, 16, 3, generator=g) * 0.05
     sd["to_out.bias"] = torch.randn(14, generator=g) * 0.05
+    return sd
 
+
+def test_v2_two_class_checkpoint_infers_variant(tmp_path):
+    """A per-posture (2-condition-class) generator checkpoint
+    (cgan_v2.py:152-165, saved :359-363) converts with variant=v2 and the v2
+    proj_scale, loads through load_generator with the right config, and
+    matches the torch oracle numerically (exercising the ``emb``→``embed``
+    key rename on reference-accurate keys)."""
+    from eegsynth.train.cgan import load_generator
+
+    sd = _random_v2_gen_state_dict()
     src = tmp_path / "CGAN_generator_posture3_best.pth"
     torch.save(sd, src)
     dst = tmp_path / "CGAN_generator_posture3_best.npz"
@@ -209,6 +221,32 @@ def test_v2_two_class_checkpoint_infers_variant(tmp_path):
 
     G, bn, cfg, _ = load_generator(dst)
     assert (cfg.variant, cfg.num_classes, cfg.proj_scale) == ("v2", 2, 0.10)
-    x, _ = generator_apply(G, bn, jnp.zeros((2, NOISE), jnp.float32),
-                           jnp.array([0, 1]), cfg, train=False)
-    assert x.shape == (2, 14, 768) and bool(jnp.isfinite(x).all())
+    rng = np.random.default_rng(5)
+    z = rng.standard_normal((4, NOISE)).astype(np.float32)
+    labels = np.array([0, 1, 1, 0])
+    # torch oracle: same forward as v1, only the CBN attr name differs
+    sd_ref = {k.replace(".cbn.emb.", ".cbn.embed."): v for k, v in sd.items()}
+    global K
+    K_saved, K = K, 2
+    try:
+        with torch.no_grad():
+            ref = _torch_gen_forward(sd_ref, torch.tensor(z),
+                                     torch.tensor(labels)).numpy()
+    finally:
+        K = K_saved
+    ours, _ = generator_apply(G, bn, jnp.asarray(z), jnp.asarray(labels),
+                              cfg, train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-5)
+
+
+def test_variant_inference_prefers_tag_shape():
+    """Tag shape wins over class count: a hypothetical 2-class condition-tag
+    run stays v1; a posture tag is v2 regardless; unknown tags fall back to
+    the class-count heuristic."""
+    from scripts.convert_torch_ckpt import _infer_cgan_variant
+    assert _infer_cgan_variant("no_exo", 2) == "v1"
+    assert _infer_cgan_variant("with_exo", 9) == "v1"
+    assert _infer_cgan_variant("posture7", 9) == "v2"
+    assert _infer_cgan_variant("posture1", 2) == "v2"
+    assert _infer_cgan_variant("mystery", 9) == "v1"
+    assert _infer_cgan_variant("mystery", 2) == "v2"
