@@ -139,8 +139,11 @@ class CGANHParams:
     save_every: int = 100
     print_every: int = 20
     epochs_per_dispatch: int = 25  # epochs fused per device dispatch (TPU extra)
-    ckpt_format: str = "npz"     # full-state resume checkpoints: "npz" | "orbax"
-    async_ckpt: bool = False     # orbax only: overlap the checkpoint pull/write
+    # full-state resume checkpoints: "orbax" (default; async saves hide the
+    # seconds-long device->host pull) | "npz" (reference-artifact parity,
+    # always synchronous). async_ckpt=None means "async iff orbax".
+    ckpt_format: str = "orbax"
+    async_ckpt: bool | None = None
     seed: int = 42
     variant: str = "v1"          # "v1" | "v2"
     arch: str = "conv"           # "conv" (reference parity) | "transformer" extra
@@ -476,6 +479,8 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
         raise ValueError(f"ckpt_format must be 'npz' or 'orbax', got {hp.ckpt_format!r}")
     if hp.async_ckpt and hp.ckpt_format != "orbax":
         raise ValueError("async_ckpt requires ckpt_format='orbax'")
+    async_save = (hp.ckpt_format == "orbax" if hp.async_ckpt is None
+                  else hp.async_ckpt)
     # Only the full-state resume checkpoints switch format: every
     # generator/discriminator artifact keeps its reference-contract NPZ name
     # (eval/serving/generate load those by name). The full state is the big
@@ -633,7 +638,7 @@ def _train_cgan(X_np, y_np, cfg: CGANConfig, hp: CGANHParams, save_dir: Path,
                     {"G": G, "bn": bn, "D": D, "ema": ema, "optG": g_state, "optD": d_state},
                     {"epoch": ep, "g_loss": g_loss, "d_loss": d_loss,
                      "best_g": best_g, "tag": tag},
-                    async_save=hp.async_ckpt)
+                    async_save=async_save)
             save_generator(save_dir / f"CGAN_generator_{tag}_epoch{ep}.npz", G, bn)
             flush_best()
 

@@ -481,20 +481,23 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
 
 def train_single_npz(npz_path, out_dir, device=None, mesh=None,
                      log_every: int = 100, profile_dir=None, resume: bool = False,
-                     ckpt_format: str = "npz", async_ckpt: bool = False,
+                     ckpt_format: str = "orbax", async_ckpt: bool | None = None,
                      **hparams) -> dict:
     """Train one TimeGAN on one (posture, condition) bucket NPZ.
 
     Writes the reference artifact set into ``out_dir``: train_log.csv (same
-    columns), ckpt_latest.npz / ckpt_best.npz ({step, model, optG, optD, meta}),
+    columns), ckpt_latest / ckpt_best ({step, model, optG, optD, meta}),
     synthetic.npz. Returns a summary dict incl. measured GAN steps/sec.
     ``profile_dir`` wraps the adversarial phase in a ``jax.profiler`` trace
     (the reference has no profiling; SURVEY.md §5).
 
-    ``ckpt_format="orbax"`` writes ckpt_latest.orbax / ckpt_best.orbax instead
-    (SURVEY.md §5 "add periodic orbax checkpoints"); with ``async_ckpt`` the
-    device→host pull and write overlap the next training chunk. All loaders
-    (resume here, generate_long_synth, serve_synthesis) accept either format.
+    Checkpoints default to orbax with async saves — through the remote TPU
+    attachment a synchronous state pull costs seconds per save, so the async
+    default recovers ~1.8x wall at the reference config (BASELINE.md).
+    ``ckpt_format="npz"`` writes ckpt_latest.npz / ckpt_best.npz instead for
+    reference-artifact parity runs (always synchronous). ``async_ckpt=None``
+    means "async iff orbax". All loaders (resume here, generate_long_synth,
+    serve_synthesis) accept either format.
     """
     npz_path, out_dir = Path(npz_path), Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -503,6 +506,8 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
         raise ValueError(f"ckpt_format must be 'npz' or 'orbax', got {ckpt_format!r}")
     if async_ckpt and ckpt_format != "orbax":
         raise ValueError("async_ckpt requires ckpt_format='orbax'")
+    if async_ckpt is None:
+        async_ckpt = ckpt_format == "orbax"
     ext = ".npz" if ckpt_format == "npz" else ".orbax"
 
     data = np.load(npz_path)

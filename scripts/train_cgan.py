@@ -66,9 +66,11 @@ def get_args():
                         "--precision-d bf16 (bf16 D conv trunks, f32 masters "
                         "— no GradScaler needed on TPU)")
     p.add_argument("--resume", type=str, default="")
-    p.add_argument("--async-ckpt", dest="async_ckpt", action="store_true",
-                   help="orbax full-state checkpoints only (--ckpt-format "
-                        "orbax): overlap the device->host pull with training")
+    p.add_argument("--async-ckpt", dest="async_ckpt",
+                   action=argparse.BooleanOptionalAction, default=None,
+                   help="orbax full-state checkpoints only: overlap the "
+                        "device->host pull with training (default: on for "
+                        "the orbax default; --no-async-ckpt forces sync)")
     p.add_argument("--mesh", action="store_true",
                    help="shard the batch over all local devices (data parallel)")
     p.add_argument("--multihost", action="store_true",
@@ -149,8 +151,8 @@ def main():
             hp[k] = flag
         elif k in cfg:
             hp[k] = typ(cfg[k])
-    if args.async_ckpt:
-        hp["async_ckpt"] = True
+    if args.async_ckpt is not None:
+        hp["async_ckpt"] = args.async_ckpt
 
     from eegsynth.train.cgan import train_one_condition
     from eegsynth.train.sharding import mesh_from_flags

@@ -43,9 +43,11 @@ def main():
                         "--precision-d bf16 (bf16 D conv trunks, f32 masters)")
     p.add_argument("--no-ema", action="store_true")
     p.add_argument("--no-diffaugment", action="store_true")
-    p.add_argument("--async-ckpt", dest="async_ckpt", action="store_true",
-                   help="orbax full-state checkpoints only (--ckpt-format "
-                        "orbax): overlap the device->host pull with training")
+    p.add_argument("--async-ckpt", dest="async_ckpt",
+                   action=argparse.BooleanOptionalAction, default=None,
+                   help="orbax full-state checkpoints only: overlap the "
+                        "device->host pull with training (default: on for "
+                        "the orbax default; --no-async-ckpt forces sync)")
     p.add_argument("--parallel-postures", "--parallel_postures",
                    dest="parallel_postures", action="store_true",
                    help="vmap all posture models into one training run (TPU extra)")
@@ -61,8 +63,8 @@ def main():
         hp["ema"] = False
     if args.no_diffaugment:
         hp["use_diffaugment"] = False
-    if args.async_ckpt:
-        hp["async_ckpt"] = True
+    if args.async_ckpt is not None:
+        hp["async_ckpt"] = args.async_ckpt
 
     postures = range(1, 10) if args.posture == "all" else [int(args.posture)]
     # defensive SKIP for postures without both condition NPZs on disk (the
@@ -78,7 +80,7 @@ def main():
     if not postures:
         raise SystemExit("No postures with complete data to train.")
     if args.parallel_postures:
-        if hp.get("ckpt_format", "npz") != "npz" or args.async_ckpt:
+        if "ckpt_format" in hp or args.async_ckpt is not None:
             raise SystemExit("--ckpt-format/--async-ckpt apply to the "
                              "sequential trainer only (the vmapped trainer "
                              "writes NPZ at run end).")

@@ -62,12 +62,15 @@ def main():
     ap.add_argument("--platform", choices=["default", "cpu"], default="default",
                     help="'cpu' pins the CPU backend (jax_platforms) — smoke "
                          "runs / CI while the TPU is busy or unreachable")
-    ap.add_argument("--ckpt_format", choices=("npz", "orbax"), default="npz",
-                    help="checkpoint backend: flat-NPZ (reference-contract "
-                         "default) or an orbax directory per checkpoint")
-    ap.add_argument("--async_ckpt", action="store_true",
+    ap.add_argument("--ckpt_format", choices=("npz", "orbax"), default=None,
+                    help="checkpoint backend (default: orbax with async "
+                         "saves; 'npz' writes the reference-contract flat-NPZ "
+                         "artifacts, synchronously)")
+    ap.add_argument("--async_ckpt", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="orbax only: overlap checkpoint writes with training "
-                         "(device->host pull happens in the background)")
+                         "(default: on for orbax; --no-async_ckpt forces "
+                         "synchronous saves)")
     ap.add_argument("--fused_step", action="store_true", default=None,
                     help="run the GAN step's E/G/S/R recurrences as fused "
                          "single-scan cells (numerics-identical; wins for the "
@@ -124,7 +127,7 @@ def main():
         print(f"Data-parallel mesh: {dict(mesh.shape)}")
 
     if args.parallel_buckets:
-        if args.ckpt_format != "npz" or args.async_ckpt:
+        if args.ckpt_format is not None or args.async_ckpt is not None:
             raise SystemExit("--ckpt_format/--async_ckpt apply to the "
                              "sequential trainer only (the vmapped trainer "
                              "writes NPZ at run end).")
@@ -144,7 +147,8 @@ def main():
             run_dir = out_root / fp.stem
             print(f"\n=== Training {fp.name} → {run_dir} ===")
             train_single_npz(fp, run_dir, mesh=mesh, profile_dir=args.profile_dir,
-                             resume=args.resume, ckpt_format=args.ckpt_format,
+                             resume=args.resume,
+                             ckpt_format=args.ckpt_format or "orbax",
                              async_ckpt=args.async_ckpt, **hp)
 
     print("\nAll models trained. Checkpoints, logs, and synthetic data are under:", out_root)

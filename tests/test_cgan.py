@@ -186,9 +186,11 @@ def test_cgan_resume_continues_epochs(tmp_path):
             scale_range=np.ones(14, np.float32))
 
     run_dir = tmp_path / "runs" / "no_exo"
+    # ckpt_format="npz" pins the reference-artifact contract (the default is
+    # orbax+async — covered by tests/test_checkpoint_orbax.py)
     train_one_condition(data_dir, tmp_path / "runs", "no_exo",
                         epochs=2, batch_size=8, save_every=2,
-                        print_every=10, log=lambda *a: None)
+                        print_every=10, ckpt_format="npz", log=lambda *a: None)
     ckpt = run_dir / "checkpoint_epoch2.npz"
     assert ckpt.exists()
     rows1 = (run_dir / "metrics.csv").read_text().strip().split("\n")
@@ -197,7 +199,7 @@ def test_cgan_resume_continues_epochs(tmp_path):
     res = train_one_condition(data_dir, tmp_path / "runs", "no_exo",
                               epochs=4, batch_size=8, save_every=2,
                               print_every=10, resume=str(ckpt),
-                              log=lambda *a: None)
+                              ckpt_format="npz", log=lambda *a: None)
     rows2 = (run_dir / "metrics.csv").read_text().strip().split("\n")
     assert rows2[:3] == rows1                      # old rows untouched
     assert [r.split(",")[0] for r in rows2[3:]] == ["3", "4"]
@@ -458,7 +460,7 @@ def test_cgan_pipelined_logs_complete_with_odd_boundaries(tmp_path):
     res = train_one_condition(data_dir, tmp_path / "runs", "no_exo",
                               epochs=5, batch_size=8, save_every=4,
                               epochs_per_dispatch=2, print_every=1,
-                              log=lambda *a: None)
+                              ckpt_format="npz", log=lambda *a: None)
     run_dir = tmp_path / "runs" / "no_exo"
     rows = (run_dir / "metrics.csv").read_text().strip().split("\n")
     assert [r.split(",")[0] for r in rows[1:]] == ["1", "2", "3", "4", "5"]

@@ -143,7 +143,7 @@ def test_cgan_orbax_fullstate_resume(tmp_path):
     run_dir = tmp_path / "runs" / "no_exo"
     with pytest.raises(ValueError, match="async_ckpt requires"):
         train_one_condition(data_dir, tmp_path / "bad", "no_exo", epochs=1,
-                            async_ckpt=True, **tiny)
+                            ckpt_format="npz", async_ckpt=True, **tiny)
     train_one_condition(data_dir, tmp_path / "runs", "no_exo", epochs=2,
                         ckpt_format="orbax", async_ckpt=True,
                         log=lambda *a: None, **tiny)

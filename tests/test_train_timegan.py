@@ -49,8 +49,11 @@ def test_checkpoint_roundtrip(tmp_path):
 def test_train_single_npz_end_to_end(tmp_path):
     fp, X = _make_bucket(tmp_path)
     out = tmp_path / "run"
+    # ckpt_format="npz" pins the reference-artifact contract (the default is
+    # orbax+async — covered by tests/test_checkpoint_orbax.py)
     res = train_single_npz(fp, out, ae_epochs=2, sup_epochs=2, gan_steps=4,
-                           chunk=2, batch_size=4, acf_max_lag=8)
+                           chunk=2, batch_size=4, acf_max_lag=8,
+                           ckpt_format="npz")
     # artifacts
     assert (out / "train_log.csv").exists()
     assert (out / "ckpt_latest.npz").exists()
