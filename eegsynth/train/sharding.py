@@ -30,12 +30,19 @@ def init_multihost(coordinator_address: str | None = None,
     MUST run before anything initializes the local backend (any
     ``jax.devices()`` / array op) — the CLIs order it first.
 
-    Status: experimental (this environment has one chip, so multi-host runs
-    are untested). The returned mesh spans every chip in the slice; gradient
-    all-reduce rides ICI within a host and DCN across, inserted by GSPMD from
-    the same sharding annotations as the single-host path. Known caveats for
-    a real multi-host run: per-host input arrays must be assembled with
-    ``jax.make_array_from_process_local_data`` before a global-mesh
+    Validated by tests/test_multihost.py: two real processes join a localhost
+    coordinator (CPU backend, 2 virtual devices each) and run a sharded GAN
+    chunk whose losses and updated weights match a single-process run on a
+    same-size local mesh — grad all-reduce across the process boundary,
+    ``is_coordinator`` write gating, and ``fetch_global`` agreement are all
+    asserted. (Real multi-chip DCN hardware is still unavailable here; the
+    process-boundary semantics are what the test pins down.) The returned
+    mesh spans every chip in the slice; gradient all-reduce rides ICI within
+    a host and DCN across, inserted by GSPMD from the same sharding
+    annotations as the single-host path. Caveats for a real multi-host run:
+    per-host input arrays must be assembled with
+    ``jax.experimental.multihost_utils.host_local_array_to_global_array`` (or
+    ``jax.make_array_from_process_local_data``) before a global-mesh
     ``with_sharding_constraint`` will accept them, and artifact writes happen
     on the coordinator only (trainers gate on :func:`is_coordinator`).
     """
