@@ -23,6 +23,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+from jax import custom_batching
 
 from eegsynth.nn.gru import gru_stack_apply, gru_stack_init
 from eegsynth.nn.layers import dense_apply, dense_init
@@ -289,6 +290,31 @@ def fused_disc_inputs(params: Params, x: jax.Array, z: jax.Array):
     _, (h_real, h_fake) = jax.lax.scan(jax.checkpoint(cell), init,
                                        (xp_e, xp_g), unroll=8)
     return jnp.moveaxis(h_real, 0, 1), jnp.moveaxis(h_fake, 0, 1)
+
+
+disc_inputs_multigru = custom_batching.custom_vmap(fused_disc_inputs)
+
+
+@disc_inputs_multigru.def_vmap
+def _disc_inputs_multigru_rule(axis_size, in_batched, params, x, z):
+    """vmap rule: when the D-input computation is batched over stacked buckets
+    (the vmapped multi-bucket trainer), run ALL buckets' E / G→S recurrences in
+    ONE fused Pallas kernel with every hidden state VMEM-resident — SURVEY §7's
+    "batch all networks' cells into one fused kernel per step". Unbatched calls
+    (the sequential trainer) hit the plain XLA fused scan.
+    """
+    px, bx, bz = in_batched
+    fully_batched = (bx and bz
+                     and all(jax.tree_util.tree_leaves(px)))
+    g_proj, s_proj = params.get("generator", {}).get("proj"), \
+        params.get("supervisor", {}).get("proj")
+    fusable = (g_proj is not None and s_proj is not None
+               and all(len(params[k]["gru"]) == 1
+                       for k in ("generator", "supervisor", "embedder")))
+    if not (fully_batched and fusable):
+        return jax.vmap(fused_disc_inputs)(params, x, z), (True, True)
+    from eegsynth.nn.pallas_multigru import multigru_disc_inputs_pallas
+    return multigru_disc_inputs_pallas(params, x, z), (True, True)
 
 
 def fused_reconstruct(params: Params, x: jax.Array) -> jax.Array:

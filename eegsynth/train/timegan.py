@@ -41,7 +41,8 @@ from eegsynth.losses.timegan import (
     sup_loss, throttle_scale,
 )
 from eegsynth.models.timegan import (
-    TimeGANConfig, adaptive_dims, decode, encode, fused_disc_inputs,
+    TimeGANConfig, adaptive_dims, decode, disc_inputs_multigru, encode,
+    fused_disc_inputs,
     fused_gen_refine, fused_gen_refine_carry, fused_reconstruct, gen_latent,
     reconstruct, refine_latent, sample_noise, timegan_init,
 )
@@ -91,6 +92,14 @@ class TimeGANHParams:
     # batch is nb× larger (see BASELINE.md). Single-layer configs only
     # (fused cells don't thread inter-layer dropout).
     fused_step: bool = False
+    # Pallas fused multi-network kernel for the vmapped D-step inputs (ours):
+    # run ALL stacked buckets' E / G→S recurrences in one pallas_call with the
+    # carried hidden states VMEM-resident across the T grid steps (SURVEY §7).
+    # Only takes effect with fused_step under the vmapped multi-bucket trainer
+    # (single-chip; the custom_vmap rule falls back to the XLA fused scan when
+    # the geometry doesn't apply). MEASURED NEGATIVE at the reference geometry:
+    # 60.2 vs 66.2 aggregate steps/s (BASELINE.md roofline) — opt-in only.
+    pallas_multigru: bool = False
 
 
 def _multistep_lr(init: float, milestones: tuple[int, ...], gamma: float = 0.5):
@@ -328,7 +337,11 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
         # stacked buckets the (nb,B,T,H) latents between scans are HBM
         # round-trips that the fused cell avoids (BASELINE.md).
         z = sample_noise(k_z1, B, T, cfg.z_dim)
-        if use_fused:
+        if use_fused and hp.pallas_multigru:
+            # under the vmapped trainer the custom_vmap rule dispatches the
+            # fused all-bucket Pallas kernel; unbatched it == fused_disc_inputs
+            h_real, h_fake = disc_inputs_multigru(params, x, z)
+        elif use_fused:
             h_real, h_fake = fused_disc_inputs(params, x, z)
         else:
             h_real = encode(params, x, dropout=do_rate, key=dks[0],

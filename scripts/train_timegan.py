@@ -80,6 +80,11 @@ def main():
     ap.add_argument("--no_fused_step", action="store_true",
                     help="force composed per-network scans (overrides the "
                          "--parallel_buckets fused default)")
+    ap.add_argument("--pallas_multigru", action="store_true",
+                    help="with --parallel_buckets + fused_step: run all "
+                         "stacked buckets' D-input recurrences in one Pallas "
+                         "kernel (measured 0.91x at reference H=56 — escape "
+                         "hatch for large-H configs; see BASELINE.md)")
     for k, typ in CONFIG_KEYS.items():
         ap.add_argument(f"--{k}", type=typ, default=None)
     args = ap.parse_args()
@@ -108,6 +113,8 @@ def main():
         hp["fused_step"] = True
     elif "fused_step" in cfg:
         hp["fused_step"] = bool(cfg["fused_step"])
+    if args.pallas_multigru:
+        hp["pallas_multigru"] = True
     # with --parallel_buckets and no explicit setting, train_all_buckets
     # defaults fused_step on (measured +18% aggregate — BASELINE.md)
 
