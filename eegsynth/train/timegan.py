@@ -100,6 +100,15 @@ class TimeGANHParams:
     # the geometry doesn't apply). MEASURED NEGATIVE at the reference geometry:
     # 60.2 vs 66.2 aggregate steps/s (BASELINE.md roofline) — opt-in only.
     pallas_multigru: bool = False
+    # A/B instrument for the documented GAN-phase sampling deviation (module
+    # docstring): emulate the reference's epoch-cycled shuffled DataLoader —
+    # one permutation per epoch, consumed in consecutive size-B slices — vs
+    # the default independent per-step permutation batches. Shape-static, so
+    # the short final batch is dropped (drop_last=True emulation; the
+    # reference uses drop_last=False) and the cycle restarts at chunk
+    # boundaries. Sequential (non-vmapped) trainer only. QUALITY.md records
+    # the measured A/B equivalence.
+    epoch_cycle: bool = False
 
 
 def _multistep_lr(init: float, milestones: tuple[int, ...], gamma: float = 0.5):
@@ -296,6 +305,25 @@ def make_gan_opts(hp: TimeGANHParams, milestones=None):
     return optD, optG
 
 
+def _epoch_cycle_next(perm, cursor, key, B: int):
+    """One draw of the epoch-cycled loader emulation (hp.epoch_cycle).
+
+    ``perm`` is the current epoch's permutation of the N sample ids, ``cursor``
+    the next batch slot in [0, N // B). At cursor 0 a fresh permutation is
+    drawn (epoch boundary); each step consumes the next consecutive size-B
+    slice, so every sample is visited exactly once per epoch (minus the
+    dropped short tail — drop_last=True; shapes must stay static under jit).
+    Returns (idx, perm, cursor) for threading through the scan carry.
+    """
+    n = perm.shape[0]
+    spe = max(1, n // B)  # static steps per epoch
+    fresh = jax.random.permutation(key, n).astype(perm.dtype)
+    perm = jnp.where(cursor == 0, fresh, perm)
+    idx = jax.lax.dynamic_slice(perm, (cursor * B,), (B,))
+    cursor = ((cursor + 1) % spe).astype(cursor.dtype)
+    return idx, perm, cursor
+
+
 def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None):
     """One device dispatch = ``n_steps`` full D+G GAN iterations via lax.scan."""
     target_acc = 0.5 * (hp.d_min_acc + hp.d_max_acc)
@@ -308,7 +336,8 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
     def one_step(B_eff, carry, step):
         # B_eff is bound per build() below (not a shared mutable closure —
         # two runners from one factory must not alias each other's batch size)
-        params, d_state, g_state, best_params, best_loss, best_step, key, X, n_valid = carry
+        (params, d_state, g_state, best_params, best_loss, best_step, key,
+         X, n_valid, samp) = carry
         key, k_idx, k_z1, k_nr, k_nf, k_lbl, k_z2, k_ng = jax.random.split(key, 8)
         if do_active:  # fresh inter-layer dropout masks per forward, as torch
             key, k_do = jax.random.split(key)
@@ -318,7 +347,12 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
         inst = jnp.maximum(hp.inst_noise_end,
                            hp.inst_noise_start - (step - 1).astype(jnp.float32) * noise_decay)
 
-        if n_valid is None:
+        if samp is not None:
+            # epoch-cycled DataLoader emulation (hp.epoch_cycle A/B)
+            perm, cursor = samp
+            idx, perm, cursor = _epoch_cycle_next(perm, cursor, k_idx, B_eff)
+            samp = (perm, cursor)
+        elif n_valid is None:
             # exact without-replacement batch over the full bucket
             idx = jax.random.permutation(k_idx, X.shape[0])[:B_eff]
         else:
@@ -449,7 +483,7 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
 
         logs = jnp.stack([d_loss, d_acc, g_total, g_adv, g_supv, g_rec, g_cov, g_acf])
         return (params, d_state, g_state, best_params, best_loss, best_step, key,
-                X, n_valid), logs
+                X, n_valid, samp), logs
 
     def build(batch_eff, with_valid_n: bool = False, vmapped: bool = False):
         """Build the jitted chunk runner.
@@ -461,12 +495,20 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
         - vmapped: vmap every argument except the shared step ids over a
           leading bucket axis (one dispatch trains every bucket in parallel)
         """
+        if hp.epoch_cycle and with_valid_n:
+            raise ValueError("epoch_cycle is a sequential-trainer A/B "
+                             "instrument; unsupported with stacked buckets")
         step_fn = lambda carry, step: one_step(batch_eff, carry, step)
 
         def chunk(params, d_state, g_state, best_params, best_loss, best_step,
                   key, X, n_valid, steps):
+            # cursor 0 ⇒ the first step draws a fresh epoch permutation (the
+            # cycle restarts each chunk — at most one partial epoch per 500
+            # steps is re-dealt, documented in TimeGANHParams.epoch_cycle)
+            samp = ((jnp.zeros(X.shape[0], jnp.int32), jnp.int32(0))
+                    if hp.epoch_cycle else None)
             carry = (params, d_state, g_state, best_params, best_loss, best_step,
-                     key, X, n_valid if with_valid_n else None)
+                     key, X, n_valid if with_valid_n else None, samp)
             # unroll=2 measured 59.2 vs 58.7 steps/s (noise) at ~2× the chunk
             # compile time — not worth it
             carry, logs = jax.lax.scan(step_fn, carry, steps)

@@ -80,6 +80,12 @@ def main():
     ap.add_argument("--no_fused_step", action="store_true",
                     help="force composed per-network scans (overrides the "
                          "--parallel_buckets fused default)")
+    ap.add_argument("--epoch_cycle", action="store_true",
+                    help="sequential trainer only: emulate the reference's "
+                         "epoch-cycled shuffled DataLoader in the GAN phase "
+                         "instead of independent per-step permutation batches "
+                         "(A/B instrument for the documented sampling "
+                         "deviation; see QUALITY.md)")
     ap.add_argument("--pallas_multigru", action="store_true",
                     help="with --parallel_buckets + fused_step: run all "
                          "stacked buckets' D-input recurrences in one Pallas "
@@ -115,6 +121,8 @@ def main():
         hp["fused_step"] = bool(cfg["fused_step"])
     if args.pallas_multigru:
         hp["pallas_multigru"] = True
+    if args.epoch_cycle:
+        hp["epoch_cycle"] = True
     # with --parallel_buckets and no explicit setting, train_all_buckets
     # defaults fused_step on (measured +18% aggregate — BASELINE.md)
 
