@@ -20,7 +20,8 @@ HP_FLAGS = {
     "proj_scale": float, "acgan_weight": float, "g_acgan_weight": float,
     "r1_gamma": float, "r1_every": int, "inst_noise_start": float,
     "inst_noise_end": float, "diffaugment_p": float, "psd_weight": float,
-    "coh_weight": float, "cov_weight": float, "local_crop": int,
+    "coh_weight": float, "cov_weight": float, "amp_weight": float,
+    "coh_pairs": int, "local_crop": int,
     "fm_weight": float, "ema_decay": float, "lr_decay": float,
     "lr_decay_step": int, "save_every": int, "print_every": int, "epochs_per_dispatch": int, "seed": int,
     "arch": str, "tf_dim": int, "tf_depth": int, "tf_heads": int, "tf_patch": int,
