@@ -209,6 +209,26 @@ def test_cgan_cli_reference_flag_surface(monkeypatch):
     assert a.loss is None and a.gp_weight is None
 
 
+def test_cgan_cli_hp_flags_match_trainer_fields(monkeypatch):
+    """Every HP_FLAGS key must be a real CGANHParams field with the same type
+    — main() forwards them as train_one_condition(**hp), so a mismatched name
+    would only crash at training time. Also drives the round-2 loss-shaping
+    flags (--amp-weight/--coh-pairs, used by the transformer sweep)."""
+    import dataclasses
+
+    from eegsynth.train.cgan import CGANHParams
+
+    mod = _load_script("train_cgan")
+    fields = {f.name: f for f in dataclasses.fields(CGANHParams)}
+    for key, typ in mod.HP_FLAGS.items():
+        assert key in fields, f"HP_FLAGS {key!r} is not a CGANHParams field"
+        assert isinstance(getattr(CGANHParams(), key), typ), key
+    monkeypatch.setattr(sys, "argv", [
+        "train_cgan.py", "--amp-weight", "0.5", "--coh-pairs", "8"])
+    a = mod.get_args()
+    assert a.amp_weight == 0.5 and a.coh_pairs == 8
+
+
 def test_visualization_cgan_cli(tmp_path, monkeypatch):
     """CGAN 36-cluster viz (visualization_36_clusters_zoom.py contract):
     pca_36/tsne_36 with the paired legend + fresh-embedding zoom pairs under
