@@ -91,8 +91,17 @@ def posture_conditional_losses(real: jax.Array, fake: jax.Array, labels: jax.Arr
     The reference's data-dependent ``torch.unique`` loop becomes masked
     segment statistics: per-class weighted means with zero-count classes
     excluded from the final average — identical math, one compiled graph.
+
+    Weights may be Python floats (static — a zero weight drops the whole
+    FFT/einsum chain from the compiled graph) or traced jax scalars (the
+    loss-weight sweep trains many weight settings through ONE executable,
+    train/cgan_sweep.py — every component then stays in the graph).
     """
-    if (psd_w + coh_w + cov_w) == 0:
+    def _live(w):
+        # traced/device weights always keep their component in the graph
+        return isinstance(w, jax.Array) or w > 0
+
+    if not any(_live(w) for w in (psd_w, coh_w, cov_w)):
         return jnp.float32(0.0)
     pairs = jnp.asarray(FIXED_PAIRS)
     onehot = jax.nn.one_hot(labels, num_classes, dtype=real.dtype)  # (B, K)
@@ -112,12 +121,12 @@ def posture_conditional_losses(real: jax.Array, fake: jax.Array, labels: jax.Arr
         # zero weight keeps the whole FFT/einsum chain out of the compiled
         # graph (XLA won't fold x*0 through an FFT)
         l = jnp.float32(0.0)
-        if psd_w > 0:
+        if _live(psd_w):
             P_r = wmean(rfft_power(real, axis=2), wr)
             P_f = wmean(rfft_power(fake, axis=2), wr)
             l = l + psd_w * jnp.mean(jnp.abs(P_f - P_r))
 
-        if coh_w > 0:
+        if _live(coh_w):
             # Coherence on the 4 fixed pairs (constant indices fold statically)
             def coh_stat(x):
                 spec = jnp.fft.rfft(x, axis=2)
@@ -130,7 +139,7 @@ def posture_conditional_losses(real: jax.Array, fake: jax.Array, labels: jax.Arr
                 return jnp.sum((num / den) * wr, axis=0) / n
             l = l + coh_w * jnp.mean(jnp.abs(coh_stat(fake) - coh_stat(real)))
 
-        if cov_w > 0:
+        if _live(cov_w):
             def cov_stat(x):
                 xc = x - jnp.mean(x, axis=2, keepdims=True)
                 cov = jnp.einsum("bct,bdt->bcd", xc, xc) / (x.shape[2] - 1)

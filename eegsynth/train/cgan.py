@@ -173,6 +173,12 @@ class CGANHParams:
                              "f32 LayerNorms)")
 
 
+# G-step loss weights that may be swept as TRACED scalars through one
+# executable (train/cgan_sweep.py). Order defines the sweep vector layout.
+G_WEIGHT_NAMES = ("fm_weight", "psd_weight", "coh_weight", "cov_weight",
+                  "amp_weight", "g_acgan_weight")
+
+
 V2_OVERRIDES = dict(epochs=600, prewarm=5, lr_g=6e-4, lr_d=8e-5, proj_scale=0.10,
                     acgan_weight=1.25, g_acgan_weight=1.5, inst_noise_end=0.06,
                     diffaugment_p=0.5, psd_weight=0.3, coh_weight=0.8,
@@ -265,7 +271,7 @@ def _make_epoch_core(cfg: CGANConfig, hp: CGANHParams, optG, optD,
         g = jax.grad(score_sum)(x_in)
         return 0.5 * jnp.mean(jnp.sum(g.reshape(g.shape[0], -1) ** 2, axis=1))
 
-    def one_step(carry, step_idx):
+    def one_step(carry, step_idx, w):
         (G, bn, D, ema, g_state, d_state, X, y_tab, sigma, key) = carry
         table, counts = y_tab
         key, *ks = jax.random.split(key, 21)  # ks[0..11] D step, ks[12..19] G step
@@ -377,20 +383,20 @@ def _make_epoch_core(cfg: CGANConfig, hp: CGANHParams, optG, optD,
             loss = jnp.float32(0.0)
             if not prewarm:
                 loss = (g_adv(gs_g) + g_adv(gs_l)
-                        + hp.g_acgan_weight * (cross_entropy(glog_g, labels_g)
-                                               + cross_entropy(glog_l, labels_g)))
+                        + w["g_acgan_weight"] * (cross_entropy(glog_g, labels_g)
+                                                 + cross_entropy(glog_l, labels_g)))
             rfeat, _ = disc_features(D["dg"], real_g, cfg, train=False)
-            loss = loss + hp.fm_weight * feature_matching(ffeat, rfeat)
+            loss = loss + w["fm_weight"] * feature_matching(ffeat, rfeat)
             if hp.variant == "v1":
                 loss = loss + posture_conditional_losses(
                     real_g, fake2, labels_g, cfg.num_classes,
-                    hp.psd_weight, hp.coh_weight, hp.cov_weight)
+                    w["psd_weight"], w["coh_weight"], w["cov_weight"])
             else:
-                loss = loss + hp.psd_weight * psd_loss(real_g, fake2)
-                loss = loss + hp.coh_weight * coh_loss_random(ks[19], real_g, fake2,
-                                                              hp.coh_pairs)
-                loss = loss + hp.cov_weight * cov_loss(real_g, fake2)
-                loss = loss + hp.amp_weight * amp_calib_loss(real_g, fake2)
+                loss = loss + w["psd_weight"] * psd_loss(real_g, fake2)
+                loss = loss + w["coh_weight"] * coh_loss_random(ks[19], real_g, fake2,
+                                                                hp.coh_pairs)
+                loss = loss + w["cov_weight"] * cov_loss(real_g, fake2)
+                loss = loss + w["amp_weight"] * amp_calib_loss(real_g, fake2)
             return loss, (bn_new, {"dg": Dg1, "dl": Dl1})
 
         (g_loss_out, (bn, u_new2)), g_grads = jax.value_and_grad(
@@ -406,9 +412,17 @@ def _make_epoch_core(cfg: CGANConfig, hp: CGANHParams, optG, optD,
         return (G, bn, D, ema, g_state, d_state, X, y_tab, sigma, key), \
             jnp.concatenate([diag, jnp.stack([g_loss_out, d_loss_out])])
 
-    def epoch_core(G, bn, D, ema, g_state, d_state, X, table, counts, sigma, key):
+    def epoch_core(G, bn, D, ema, g_state, d_state, X, table, counts, sigma, key,
+                   weights=None):
+        # weights: optional (len(G_WEIGHT_NAMES),) vector of TRACED G-step loss
+        # weights (sweep path). None → hp's static floats, bit-identical to the
+        # pre-sweep trainer (zero weights still prune their loss components).
+        if weights is None:
+            w = {n: getattr(hp, n) for n in G_WEIGHT_NAMES}
+        else:
+            w = dict(zip(G_WEIGHT_NAMES, weights))
         carry = (G, bn, D, ema, g_state, d_state, X, (table, counts), sigma, key)
-        carry, logs = jax.lax.scan(one_step, carry,
+        carry, logs = jax.lax.scan(lambda c, s: one_step(c, s, w), carry,
                                    jnp.arange(steps_per_epoch, dtype=jnp.int32))
         (G, bn, D, ema, g_state, d_state, _, _, _, _) = carry
         return G, bn, D, ema, g_state, d_state, logs
