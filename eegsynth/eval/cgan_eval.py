@@ -63,9 +63,19 @@ def _logreg_acc_auc(Xs, y, seed=123):
     return acc, auc
 
 
-def discriminative_metrics(Xr, Xg, yr, yg, out_csv, seed=123):
+def discriminative_metrics(Xr, Xg, yr, yg, out_csv, seed=123, v2_split=False):
     """LogReg real-vs-gen on standardized log-PSD features, global + per posture
-    (eval_cgan.py:124-145; per-posture split per eval_cgan_v3.py fix)."""
+    (eval_cgan.py:124-145; per-posture split per eval_cgan_v3.py fix).
+
+    ``v2_split=True`` reproduces eval_cgan_v2.py:169-201's per-posture
+    selection INCLUDING its positional bug: the v2 driver builds one
+    interleaved ``y_posture`` vector ([p]×(nR_p+nG_p) blocks in posture order,
+    eval_cgan_v2.py:404-414) and masks it POSITIONALLY against the stacked
+    feature matrix [real rows..., gen rows...], so each "posture" row of the
+    global CSV scores a misaligned mixture whenever posture counts differ.
+    Requires the caller to pass posture-block-ordered rows (ascending posture),
+    which is how both the reference driver and ours assemble the global
+    arrays. Default (False) is the v3 fixed split (eval_cgan_v3.py:184-198)."""
     from sklearn.preprocessing import StandardScaler
 
     Fr, Fg = psd_features(Xr), psd_features(Xg)
@@ -76,12 +86,26 @@ def discriminative_metrics(Xr, Xg, yr, yg, out_csv, seed=123):
                        neginf=0.0)
     acc, auc = _logreg_acc_auc(Xs, y, seed)
     rows = [dict(level="global", posture=0, acc=acc, auc=auc)]
-    for p in range(1, NUM_POSTURES + 1):
-        m = y_post == p
-        if m.sum() < 20 or len(np.unique(y[m])) < 2:
-            continue
-        acc, auc = _logreg_acc_auc(Xs[m], y[m], seed)
-        rows.append(dict(level="posture", posture=p, acc=acc, auc=auc))
+    if v2_split:
+        # the v2 driver's y_posture: per-posture [p]*(nR_p+nG_p) blocks,
+        # np.unique iteration order; no minimum-count guard in the reference
+        posts = np.unique(y_post)
+        y_v2 = np.concatenate(
+            [np.full(int((yr == p).sum() + (yg == p).sum()), p, np.int64)
+             for p in posts]) if len(posts) else np.empty(0, np.int64)
+        for p in posts:
+            m = y_v2 == p
+            if len(np.unique(y[m])) < 2:   # v2's only guard (:191-192)
+                continue
+            acc, auc = _logreg_acc_auc(Xs[m], y[m], seed)
+            rows.append(dict(level="posture", posture=int(p), acc=acc, auc=auc))
+    else:
+        for p in range(1, NUM_POSTURES + 1):
+            m = y_post == p
+            if m.sum() < 20 or len(np.unique(y[m])) < 2:
+                continue
+            acc, auc = _logreg_acc_auc(Xs[m], y[m], seed)
+            rows.append(dict(level="posture", posture=p, acc=acc, auc=auc))
     _write_rows(out_csv, rows)
     return rows
 

@@ -48,6 +48,12 @@ def weight_matrix(hp: CGANHParams, grid: list[dict]) -> np.ndarray:
         if unknown:
             raise ValueError(f"unsweepable weights {sorted(unknown)}; "
                              f"sweepable: {G_WEIGHT_NAMES}")
+        if hp.variant == "v1" and "amp_weight" in overrides:
+            # amp_calib_loss only exists on the v2 loss branch
+            # (train/cgan.py epoch_core); under v1 the override would pass
+            # validation yet produce a bit-identical sweep point.
+            raise ValueError("amp_weight only affects variant='v2'; "
+                             "overriding it in a v1 sweep is a silent no-op")
         for j, n in enumerate(G_WEIGHT_NAMES):
             W[i, j] = float(overrides.get(n, getattr(hp, n)))
     return W

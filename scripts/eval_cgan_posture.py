@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--noise-dim", type=int, default=100,
                    help="unused: noise_dim is read from checkpoint meta")
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--v2-split", action="store_true",
+                    help="reproduce eval_cgan_v2.py's per-posture "
+                         "discriminative selection including its positional "
+                         "bug (default: the eval_cgan_v3.py fixed split)")
     ap.add_argument("--platform", choices=["default", "cpu"], default="default",
                     help="'cpu' pins the CPU backend (jax_platforms) — the "
                          "metrics are backend-agnostic and the tiny scorers "
@@ -81,7 +85,7 @@ def main():
         out_p = save_root / f"posture{p}"
         out_p.mkdir(parents=True, exist_ok=True)
         discriminative_metrics(R, Gx, yr, yg, out_p / "metrics_discriminative.csv",
-                               args.seed)
+                               args.seed, v2_split=args.v2_split)
         predictive_scores(R, Gx, yr, yg, out_p / "metrics_predictive.csv",
                           seed=args.seed)
         stats_similarity(R, Gx, yr, yg, out_p / "metrics_stats.csv")
@@ -100,7 +104,8 @@ def main():
         out_g = save_root / "global"
         out_g.mkdir(parents=True, exist_ok=True)
         discriminative_metrics(Xr_all, Xg_all, yr_all, yg_all,
-                               out_g / "metrics_discriminative.csv", args.seed)
+                               out_g / "metrics_discriminative.csv", args.seed,
+                               v2_split=args.v2_split)
         predictive_scores(Xr_all, Xg_all, yr_all, yg_all,
                           out_g / "metrics_predictive.csv", seed=args.seed)
         stats_similarity(Xr_all, Xg_all, yr_all, yg_all, out_g / "metrics_stats.csv")

@@ -12,8 +12,10 @@ The reference's only inference surface is a batch script
   so arbitrary (n, seq_len) requests never trigger a recompile,
 - optional per-bucket denormalization with the real scalers.
 
-API (stdlib http.server; single-threaded by design — one TPU process, queued
-requests):
+API (stdlib ThreadingHTTPServer: socket I/O is per-thread so a slow or hung
+client can never block other requests, while all DEVICE work serializes
+behind one dispatch lock — one TPU process needs the device queue serialized,
+not the sockets):
 Seed semantics: `seed` reproduces outputs for identical (run, n, seq_len) and
 server shape config — requests of different sizes consume the key stream
 differently and draw different noise.
@@ -35,7 +37,8 @@ import io
 import json
 import re
 import sys
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
 import numpy as np
@@ -57,6 +60,9 @@ class ModelRegistry:
         self.real_dir = Path(real_dir) if real_dir is not None else None
         self.models = {}
         self.cgan = {}
+        # Serializes DEVICE dispatch only (one TPU process at a time); socket
+        # I/O and host-side NPZ packing stay concurrent across handler threads.
+        self.device_lock = threading.Lock()
         if runs_dir is not None:
             self._load_timegan(Path(runs_dir), prefer_latest)
         if cgan_root is not None:
@@ -109,11 +115,12 @@ class ModelRegistry:
         nb = -(-n // serve_batch) * serve_batch
         pieces = []
         key = jax.random.key(seed)
-        for _ in range(nb // serve_batch):          # fixed compiled shape
-            key, sub = jax.random.split(key)
-            pieces.append(np.asarray(
-                generate_batch(m["G"], m["bn"], m["cfg"], sub, serve_batch,
-                               label), dtype=np.float32))
+        with self.device_lock:
+            for _ in range(nb // serve_batch):      # fixed compiled shape
+                key, sub = jax.random.split(key)
+                pieces.append(np.asarray(
+                    generate_batch(m["G"], m["bn"], m["cfg"], sub, serve_batch,
+                                   label), dtype=np.float32))
         X = np.concatenate(pieces, axis=0)[:n]      # (n, C, T)
         if inverse_scale:
             sc = self._bucket_scalers(tag, label)
@@ -174,12 +181,13 @@ class ModelRegistry:
         # (serve_batch, time_chunk) executable, no recompiles ever.
         nb = -(-n // serve_batch) * serve_batch
         tb = -(-seq_len // time_chunk) * time_chunk
-        X = np.asarray(
-            synthesize(m["params"], m["cfg"], jax.random.key(seed), nb, tb,
-                       batch=serve_batch if nb > serve_batch else None,
-                       time_chunk=time_chunk if tb > time_chunk else None,
-                       precision=precision),
-            dtype=np.float32)[:n, :seq_len]
+        with self.device_lock:
+            X = np.asarray(
+                synthesize(m["params"], m["cfg"], jax.random.key(seed), nb, tb,
+                           batch=serve_batch if nb > serve_batch else None,
+                           time_chunk=time_chunk if tb > time_chunk else None,
+                           precision=precision),
+                dtype=np.float32)[:n, :seq_len]
         if denorm and m["scale_min"] is not None:
             X = X * m["scale_range"][None, None, :] + m["scale_min"][None, None, :]
         return X
@@ -343,9 +351,10 @@ def main():
             reg.synthesize_cgan(tag, 0, 1, 0, False, args.serve_batch)
             print(f"[serve] warmed cgan {tag}", flush=True)
 
-    srv = HTTPServer((args.host, args.port),
-                     make_handler(reg, args.serve_batch, args.time_chunk,
-                                  args.precision))
+    srv = ThreadingHTTPServer((args.host, args.port),
+                              make_handler(reg, args.serve_batch,
+                                           args.time_chunk, args.precision))
+    srv.daemon_threads = True      # a hung client thread never blocks shutdown
     print(f"[serve] listening on http://{args.host}:{args.port}", flush=True)
     srv.serve_forever()
 

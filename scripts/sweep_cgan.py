@@ -35,6 +35,39 @@ def build_smoke_set(src_dir: str, condition: str, out_dir: Path) -> Path:
     return out_dir
 
 
+def eval_sweep_points(results, Xr, yr, samples_per_posture=400, seed=123,
+                      log=print):
+    """Per sweep point: synthesize per-posture batches from the saved best (or
+    last) generator and score PSD/ACF/coh L1 vs real (same protocol as
+    eval_cgan.py). Mutates each ``results`` entry with a ``stats`` global row
+    and writes ``stats_similarity.csv`` next to the checkpoints."""
+    import jax
+    from eegsynth.eval.cgan_eval import stats_similarity
+    from eegsynth.train.cgan import generate_batch, load_generator
+
+    npp = samples_per_posture
+    for res in results:
+        d = Path(res["dir"])
+        tag = d.name
+        gpath = d / f"CGAN_generator_{tag}_best.npz"
+        if not gpath.exists():
+            gpath = d / f"CGAN_generator_{tag}_last.npz"
+        G, bn, cfg, _ = load_generator(gpath, num_classes=9)
+        key = jax.random.key(seed)
+        outs, labs = [], []
+        for p in range(1, 10):
+            key, sub = jax.random.split(key)
+            outs.append(np.asarray(generate_batch(G, bn, cfg, sub, npp, p - 1)))
+            labs.append(np.full(npp, p, np.int64))
+        rows = stats_similarity(Xr, np.concatenate(outs), yr,
+                                np.concatenate(labs), d / "stats_similarity.csv")
+        res["stats"] = rows[0]  # global row
+        log(f"[sweep] {tag} {res['weights']} → psd_l1={rows[0]['psd_l1']:.1f} "
+            f"acf_l1={rows[0]['acf_l1']:.2e} coh_l1={rows[0]['coh_l1']:.3f} "
+            f"best_g={res['best_g']:.2f}")
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     ap.add_argument("--data-dir", type=str, default="./preprocessed")
@@ -57,10 +90,7 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    import jax
     from eegsynth.data.datasets import load_condition_dataset
-    from eegsynth.eval.cgan_eval import stats_similarity
-    from eegsynth.train.cgan import generate_batch, load_generator
     from eegsynth.train.cgan_sweep import sweep_condition
 
     grid = json.loads(args.grid)
@@ -78,26 +108,8 @@ def main():
     # eval every point with the same protocol as eval_cgan.py
     np.random.seed(123)
     Xr, yr, _ = load_condition_dataset(data_dir, args.condition)
-    npp = args.samples_per_posture
-    for res in results:
-        d = Path(res["dir"])
-        tag = d.name
-        gpath = d / f"CGAN_generator_{tag}_best.npz"
-        if not gpath.exists():
-            gpath = d / f"CGAN_generator_{tag}_last.npz"
-        G, bn, cfg, _ = load_generator(gpath, num_classes=9)
-        key = jax.random.key(123)
-        outs, labs = [], []
-        for p in range(1, 10):
-            key, sub = jax.random.split(key)
-            outs.append(np.asarray(generate_batch(G, bn, cfg, sub, npp, p - 1)))
-            labs.append(np.full(npp, p, np.int64))
-        rows = stats_similarity(Xr, yr, np.concatenate(outs), np.concatenate(labs),
-                                d / "stats_similarity.csv")
-        res["stats"] = rows[0]  # global row
-        print(f"[sweep] {tag} {res['weights']} → psd_l1={rows[0]['psd_l1']:.1f} "
-              f"acf_l1={rows[0]['acf_l1']:.2e} coh_l1={rows[0]['coh_l1']:.3f} "
-              f"best_g={res['best_g']:.2f}")
+    eval_sweep_points(results, Xr, yr,
+                      samples_per_posture=args.samples_per_posture)
 
     with open(Path(args.out) / "sweep_results.json", "w") as f:
         json.dump(results, f, indent=2)

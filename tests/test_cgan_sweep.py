@@ -107,6 +107,19 @@ def test_weight_matrix_rejects_unknown_names(tiny):
         weight_matrix(hp, [{"acgan_weight": 1.0}])  # D-side weight: static only
 
 
+def test_weight_matrix_rejects_amp_weight_under_v1(tiny):
+    # amp_calib_loss lives on the v2 branch only; a v1 sweep overriding it
+    # would silently produce bit-identical points (advisor round-2 finding).
+    _, hp = tiny
+    from eegsynth.train.cgan_sweep import weight_matrix
+    assert hp.variant == "v1"
+    with pytest.raises(ValueError, match="amp_weight"):
+        weight_matrix(hp, [{}, {"amp_weight": 1.0}])
+    hp2 = CGANHParams(**{**hp.__dict__, "variant": "v2"})
+    W = weight_matrix(hp2, [{"amp_weight": 1.0}])   # fine under v2
+    assert W[0, G_WEIGHT_NAMES.index("amp_weight")] == 1.0
+
+
 def test_sweep_condition_end_to_end(tmp_path, rng):
     """Tiny full sweep: artifacts per point, loadable generators."""
     data = tmp_path / "prep"
@@ -137,3 +150,20 @@ def test_sweep_condition_end_to_end(tmp_path, rng):
         assert x.shape == (2, 14, 768) and np.isfinite(np.asarray(x)).all()
     assert res[1]["weights"]["psd_weight"] == 4.0
     assert res[0]["weights"]["psd_weight"] == 0.5
+
+    # the CLI's post-sweep eval block (advisor round-2 high finding: it used
+    # to crash on a swapped stats_similarity arg order AFTER training)
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "sweep_cgan", "scripts/sweep_cgan.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from eegsynth.data.datasets import load_condition_dataset
+    np.random.seed(123)
+    Xr, yr, _ = load_condition_dataset(str(data), "no_exo")
+    res = mod.eval_sweep_points(res, Xr, yr, samples_per_posture=12,
+                                log=lambda *a: None)
+    for i, r in enumerate(res):
+        assert set(r["stats"]) >= {"psd_l1", "acf_l1", "coh_l1"}
+        assert np.isfinite(r["stats"]["psd_l1"])
+        assert (tmp_path / "sweep" / f"sweep{i}" / "stats_similarity.csv").exists()
