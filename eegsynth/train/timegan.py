@@ -324,6 +324,13 @@ def _epoch_cycle_next(perm, cursor, key, B: int):
     return idx, perm, cursor
 
 
+# G-step loss weights that may enter the jitted chunk as a TRACED vector
+# (per-bucket tuning / vmapped weight sweeps — the same trick as
+# train/cgan_sweep.py's G_WEIGHT_NAMES). Order is the reference's
+# train_timegan.py:265 total-loss formula.
+TIMEGAN_G_WEIGHT_NAMES = ("alpha_sup", "beta_rec", "gamma_cov", "gamma_acf")
+
+
 def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None):
     """One device dispatch = ``n_steps`` full D+G GAN iterations via lax.scan."""
     target_acc = 0.5 * (hp.d_min_acc + hp.d_max_acc)
@@ -337,7 +344,7 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
         # B_eff is bound per build() below (not a shared mutable closure —
         # two runners from one factory must not alias each other's batch size)
         (params, d_state, g_state, best_params, best_loss, best_step, key,
-         X, n_valid, samp) = carry
+         X, n_valid, samp, gw) = carry
         key, k_idx, k_z1, k_nr, k_nf, k_lbl, k_z2, k_ng = jax.random.split(key, 8)
         if do_active:  # fresh inter-layer dropout masks per forward, as torch
             key, k_do = jax.random.split(key)
@@ -459,11 +466,21 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
                 g_rec = recon_loss(x, reconstruct(p, x, dropout=do_rate,
                                                   key=dks[9], train=True))
                 x_hat = decode(p, h_hat, dropout=do_rate, key=dks[10], train=True)
-            cov_term = cov_loss(x_hat, x) if hp.gamma_cov > 0 else jnp.float32(0.0)
+            if gw is None:
+                a_sup, b_rec = hp.alpha_sup, hp.beta_rec
+                g_cov_w, g_acf_w = hp.gamma_cov, hp.gamma_acf
+                with_cov, with_acf = hp.gamma_cov > 0, hp.gamma_acf > 0
+            else:
+                # traced (len(TIMEGAN_G_WEIGHT_NAMES),) weight vector: both
+                # structure terms are computed unconditionally (a traced zero
+                # cannot prune the graph; zero weight still zeroes the grad)
+                a_sup, b_rec, g_cov_w, g_acf_w = gw[0], gw[1], gw[2], gw[3]
+                with_cov = with_acf = True
+            cov_term = cov_loss(x_hat, x) if with_cov else jnp.float32(0.0)
             acf_term = (acf_loss(x_hat, x, hp.acf_max_lag)
-                        if hp.gamma_acf > 0 else jnp.float32(0.0))
-            total = (g_adv + hp.alpha_sup * g_sup + hp.beta_rec * g_rec
-                     + hp.gamma_cov * cov_term + hp.gamma_acf * acf_term)
+                        if with_acf else jnp.float32(0.0))
+            total = (g_adv + a_sup * g_sup + b_rec * g_rec
+                     + g_cov_w * cov_term + g_acf_w * acf_term)
             return total, (g_adv, g_sup, g_rec, cov_term, acf_term, d_after["fc"]["u"])
 
         gser = {k: params[k] for k in ("generator", "supervisor", "embedder", "recovery")}
@@ -483,9 +500,10 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
 
         logs = jnp.stack([d_loss, d_acc, g_total, g_adv, g_supv, g_rec, g_cov, g_acf])
         return (params, d_state, g_state, best_params, best_loss, best_step, key,
-                X, n_valid, samp), logs
+                X, n_valid, samp, gw), logs
 
-    def build(batch_eff, with_valid_n: bool = False, vmapped: bool = False):
+    def build(batch_eff, with_valid_n: bool = False, vmapped: bool = False,
+              with_weights: bool = False):
         """Build the jitted chunk runner.
 
         - default: exact single-bucket semantics (X as argument, permutation
@@ -494,6 +512,11 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
           sampling) — required for vmapping over stacked buckets
         - vmapped: vmap every argument except the shared step ids over a
           leading bucket axis (one dispatch trains every bucket in parallel)
+        - with_weights: the runner takes a TRACED
+          ``(len(TIMEGAN_G_WEIGHT_NAMES),)`` G-loss weight vector as its last
+          argument ((nb, 4) when vmapped) — per-bucket weight tuning / weight
+          sweeps through one executable. Omitted (default) the hp floats are
+          baked in as constants, bit-identical to the pre-weights trainer.
         """
         if hp.epoch_cycle and with_valid_n:
             raise ValueError("epoch_cycle is a sequential-trainer A/B "
@@ -501,14 +524,15 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
         step_fn = lambda carry, step: one_step(batch_eff, carry, step)
 
         def chunk(params, d_state, g_state, best_params, best_loss, best_step,
-                  key, X, n_valid, steps):
+                  key, X, n_valid, g_weights, steps):
             # cursor 0 ⇒ the first step draws a fresh epoch permutation (the
             # cycle restarts each chunk — at most one partial epoch per 500
             # steps is re-dealt, documented in TimeGANHParams.epoch_cycle)
             samp = ((jnp.zeros(X.shape[0], jnp.int32), jnp.int32(0))
                     if hp.epoch_cycle else None)
             carry = (params, d_state, g_state, best_params, best_loss, best_step,
-                     key, X, n_valid if with_valid_n else None, samp)
+                     key, X, n_valid if with_valid_n else None, samp,
+                     g_weights if with_weights else None)
             # unroll=2 measured 59.2 vs 58.7 steps/s (noise) at ~2× the chunk
             # compile time — not worth it
             carry, logs = jax.lax.scan(step_fn, carry, steps)
@@ -516,14 +540,24 @@ def make_gan_chunk(cfg: TimeGANConfig, hp: TimeGANHParams, optD, optG, mesh=None
 
         if vmapped:
             chunk = jax.vmap(chunk,
-                             in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None))
+                             in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0,
+                                      0 if with_weights else None, None))
 
-        @jax.jit
-        def gan_chunk(params, d_state, g_state, best_params, best_loss, best_step,
-                      key, step0, n_steps_arr, X, n_valid=0):
-            steps = step0 + n_steps_arr  # (chunk,) global 1-based step ids
-            return chunk(params, d_state, g_state, best_params, best_loss,
-                         best_step, key, X, n_valid, steps)
+        if with_weights:
+            @jax.jit
+            def gan_chunk(params, d_state, g_state, best_params, best_loss,
+                          best_step, key, step0, n_steps_arr, X, n_valid,
+                          g_weights):
+                steps = step0 + n_steps_arr
+                return chunk(params, d_state, g_state, best_params, best_loss,
+                             best_step, key, X, n_valid, g_weights, steps)
+        else:
+            @jax.jit
+            def gan_chunk(params, d_state, g_state, best_params, best_loss,
+                          best_step, key, step0, n_steps_arr, X, n_valid=0):
+                steps = step0 + n_steps_arr  # (chunk,) global 1-based step ids
+                return chunk(params, d_state, g_state, best_params, best_loss,
+                             best_step, key, X, n_valid, None, steps)
 
         return gan_chunk
 

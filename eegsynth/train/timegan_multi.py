@@ -34,8 +34,8 @@ from eegsynth.models.timegan import (
 )
 from eegsynth.train import checkpoint as ckpt_io
 from eegsynth.train.timegan import (
-    TimeGANHParams, _make_opt, _multistep_lr, make_gan_chunk, make_gan_opts,
-    synthesize,
+    TIMEGAN_G_WEIGHT_NAMES, TimeGANHParams, _make_opt, _multistep_lr,
+    make_gan_chunk, make_gan_opts, synthesize,
 )
 
 
@@ -115,7 +115,7 @@ def _advance_keys(keys, tag: int):
 
 
 def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
-                      profile_dir=None, **hparams) -> dict:
+                      profile_dir=None, bucket_weights=None, **hparams) -> dict:
     """Vmapped multi-bucket training; writes the same per-bucket artifact set
     (train_log.csv, ckpt_latest/ckpt_best, synthetic.npz) as the sequential
     driver. Returns aggregate throughput stats.
@@ -123,6 +123,15 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     With a ``mesh``, the bucket axis is sharded over the mesh's ``data`` axis
     (buckets are padded by repeating the last one up to a mesh-size multiple;
     padding buckets train but write no artifacts).
+
+    ``bucket_weights``: optional ``{bucket_name: {weight: value}}`` per-bucket
+    G-loss weight overrides (weights from TIMEGAN_G_WEIGHT_NAMES — the
+    reference tunes ONE global set in timegan_config.json:24-27; per-bucket
+    values are a framework extra). The weights enter the GAN chunk as a traced
+    (nb, 4) matrix, so every bucket still trains through the one shared
+    executable. Buckets not named keep the hp defaults; ``None`` (default)
+    bakes the hp floats in as constants (bit-identical to the pre-weights
+    trainer).
     """
     out_root = Path(out_root)
     # fused-scan GAN step is the measured winner for the vmapped trainer
@@ -192,8 +201,30 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
         {k: p[k] for k in ("generator", "supervisor", "embedder", "recovery")}))(params)
 
     B_eff = min(hp.batch_size, n_max)
+    gw = None
+    if bucket_weights:
+        unknown = set(bucket_weights) - set(names)
+        if unknown:
+            raise ValueError(f"bucket_weights for unknown buckets "
+                             f"{sorted(unknown)}; have {names}")
+        W = np.tile(np.asarray([getattr(hp, n) for n in TIMEGAN_G_WEIGHT_NAMES],
+                               np.float32), (nb, 1))
+        for bname, overrides in bucket_weights.items():
+            bad = set(overrides) - set(TIMEGAN_G_WEIGHT_NAMES)
+            if bad:
+                raise ValueError(f"unsweepable weights {sorted(bad)}; "
+                                 f"sweepable: {TIMEGAN_G_WEIGHT_NAMES}")
+            b = names.index(bname)
+            for j, n in enumerate(TIMEGAN_G_WEIGHT_NAMES):
+                W[b, j] = float(overrides.get(n, W[b, j]))
+        gw = jnp.asarray(W)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            gw = jax.device_put(gw, NamedSharding(mesh, P("data")))
+        print("==> per-bucket G weights active for "
+              f"{sorted(bucket_weights)}", flush=True)
     gan_chunk = make_gan_chunk(cfg, hp, optD, optG, None)(
-        B_eff, with_valid_n=True, vmapped=True)
+        B_eff, with_valid_n=True, vmapped=True, with_weights=gw is not None)
 
     best_params = params
     best_loss = jnp.full((nb,), jnp.inf, jnp.float32)
@@ -221,11 +252,12 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     while done < hp.gan_steps:
         n_steps = min(hp.chunk, hp.gan_steps - done)
         keys = _advance_keys(keys, 4)  # chained: input differs each chunk
+        extra = (n_valid.astype(jnp.float32),) if gw is None else \
+            (n_valid.astype(jnp.float32), gw)
         (params, d_state, g_state, best_params, best_loss, best_step, _), logs = \
             gan_chunk(params, d_state, g_state, best_params, best_loss, best_step,
                       keys, jnp.int32(done),
-                      jnp.arange(1, n_steps + 1, dtype=jnp.int32), X,
-                      n_valid.astype(jnp.float32))
+                      jnp.arange(1, n_steps + 1, dtype=jnp.int32), X, *extra)
         done += n_steps
         if pending is not None:
             show(pending)

@@ -38,11 +38,24 @@ Optimizer state is NOT converted (torch Adam slots are keyed by parameter id,
 and the reference has no TimeGAN mid-train resume anyway) — converted
 checkpoints are for inference/eval, not for resuming training.
 
+``--reverse`` exports the OTHER direction: eegsynth checkpoints written in
+the reference's own torch formats — TimeGAN ``ckpt_{best,latest}.pt`` with
+the train_timegan.py:58-61 payload shape ({step, model, optG, optD, meta};
+optimizers empty, inference-only), strict-loadable by
+generate_long_synth.py:96-101, and CGAN ``CGAN_generator_<tag>_*.pth`` bare
+state_dicts loadable by eval_cgan.py:83-94's safe_load_generator — so the
+reference's own synthesis/eval scripts run unmodified on OUR trained weights
+(round-trip + torch-oracle output parity in tests/test_convert_reverse.py).
+
 Usage:
     python scripts/convert_torch_ckpt.py --runs_dir <reference>/timeGAN/timegan_runs \
         --out_dir ./timegan_runs_converted [--which best|latest|both]
     python scripts/convert_torch_ckpt.py --family cgan \
         --runs_dir <reference>/CGAN/cgan_runs --out_dir ./cgan_runs_converted
+    python scripts/convert_torch_ckpt.py --reverse --runs_dir ./timegan_runs \
+        --out_dir ./timegan_runs_torch [--which latest]
+    python scripts/convert_torch_ckpt.py --reverse --family cgan \
+        --runs_dir ./cgan_runs --out_dir ./cgan_runs_torch
 
 Full-model numerical parity of converted checkpoints against torch oracles is
 asserted in tests/test_convert_ckpt.py (TimeGAN) and tests/test_convert_cgan.py.
@@ -233,20 +246,173 @@ def convert_file(pt_path: Path, out_path: Path) -> dict:
     return meta
 
 
+def _t(a):
+    import torch
+    return torch.from_numpy(np.ascontiguousarray(np.asarray(a, np.float32)))
+
+
+def reverse_timegan_model(params: dict) -> dict:
+    """eegsynth TimeGAN params pytree → reference torch state_dict, loadable
+    STRICTLY by the reference model (generate_long_synth.py:96-101 does
+    ``model.load_state_dict(state["model"])`` with default strict=True).
+
+    Inverse of convert_timegan_model: layouts are identical by construction,
+    so this is a key remap. torch's spectral_norm additionally keeps a
+    ``weight_v`` buffer in the state dict; we re-derive it the way torch's
+    power iteration does (v = normalize(Wᵀu)), which also makes the stored
+    σ = uᵀWv the true current spectral estimate."""
+    import torch
+
+    sd: dict = {}
+    for net in NETS:
+        for k, layer in enumerate(params[net]["gru"]):
+            pref = f"{net}.rnn.rnn."
+            sd[f"{pref}weight_ih_l{k}"] = _t(layer["w_ih"])
+            sd[f"{pref}weight_hh_l{k}"] = _t(layer["w_hh"])
+            sd[f"{pref}bias_ih_l{k}"] = _t(layer["b_ih"])
+            sd[f"{pref}bias_hh_l{k}"] = _t(layer["b_hh"])
+    sd["recovery.out.weight"] = _t(params["recovery"]["out"]["w"])
+    sd["recovery.out.bias"] = _t(params["recovery"]["out"]["b"])
+    for net in ("generator", "supervisor"):
+        proj = params[net].get("proj")
+        if proj is not None:
+            sd[f"{net}.proj.weight"] = _t(proj["w"])
+            sd[f"{net}.proj.bias"] = _t(proj["b"])
+    fc = params["discriminator"]["fc"]
+    W, u = _t(fc["w"]), _t(fc["u"])
+    v = torch.nn.functional.normalize(W.t() @ u, dim=0, eps=1e-12)
+    sd["discriminator.fc.weight_orig"] = W
+    sd["discriminator.fc.bias"] = _t(fc["b"])
+    sd["discriminator.fc.weight_u"] = u
+    sd["discriminator.fc.weight_v"] = v
+    return sd
+
+
+def reverse_cgan_generator(params: dict, bn_state: dict) -> dict:
+    """eegsynth conv CGAN generator (params, bn_state) → reference torch
+    Generator state_dict (cgan.py:205-223 attribute names: proj / up{i}.conv /
+    up{i}.cbn.{bn,embed} / to_out), strict-loadable by safe_load_generator
+    (eval_cgan.py:83-94). BatchNorm1d(affine=False) state = running stats +
+    num_batches_tracked (informational; eval-mode forward ignores it)."""
+    import torch
+
+    sd = {"proj.weight": _t(params["proj"]["w"]),
+          "proj.bias": _t(params["proj"]["b"])}
+    for i in range(1, 6):
+        up = params[f"up{i}"]
+        sd[f"up{i}.conv.weight"] = _t(up["conv"]["w"])
+        sd[f"up{i}.conv.bias"] = _t(up["conv"]["b"])
+        sd[f"up{i}.cbn.embed.weight"] = _t(up["cbn"]["embed"])
+        sd[f"up{i}.cbn.bn.running_mean"] = _t(bn_state[f"up{i}"]["mean"])
+        sd[f"up{i}.cbn.bn.running_var"] = _t(bn_state[f"up{i}"]["var"])
+        sd[f"up{i}.cbn.bn.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
+    sd["to_out.weight"] = _t(params["to_out"]["w"])
+    sd["to_out.bias"] = _t(params["to_out"]["b"])
+    return sd
+
+
+def reverse_timegan_file(ckpt_path: Path, out_pt: Path) -> dict:
+    """One eegsynth TimeGAN checkpoint (.npz or .orbax) → reference-format
+    ckpt_*.pt with the reference's payload shape
+    (train_timegan.py:58-61: {step, model, optG, optD, meta}). Optimizer
+    states are exported empty — the reference only reads ``model`` and
+    ``meta`` at synthesis/eval time; resuming torch training from an exported
+    checkpoint is out of scope either direction."""
+    import jax
+    import torch
+    from eegsynth.models.timegan import TimeGANConfig, timegan_init
+    from eegsynth.train.checkpoint import load_checkpoint, load_meta
+
+    meta = load_meta(ckpt_path)
+    cfg = TimeGANConfig(x_dim=int(meta.get("x_dim", 14)),
+                        z_dim=int(meta["z_dim"]), h_dim=int(meta["h_dim"]),
+                        num_layers=int(meta.get("layers", 1)))
+    template = timegan_init(jax.random.key(0), cfg)
+    trees, _ = load_checkpoint(ckpt_path, {"model": template})
+    sd = reverse_timegan_model(jax.device_get(trees["model"]))
+    ref_meta = {"npz": meta.get("npz", ""), "z_dim": cfg.z_dim,
+                "h_dim": cfg.h_dim}
+    if meta.get("best") is not None:
+        ref_meta["best"] = meta["best"]
+    torch.save({"step": int(meta.get("step", 0)), "model": sd,
+                "optG": {}, "optD": {}, "meta": ref_meta}, out_pt)
+    return ref_meta
+
+
+def reverse_cgan_file(npz_path: Path, out_pth: Path) -> dict:
+    """One eegsynth CGAN generator checkpoint → reference-format bare
+    state_dict .pth (what cgan.py:508-512 saves and eval_cgan.py loads).
+    Transformer-arch checkpoints have no torch counterpart and are refused."""
+    import torch
+    from eegsynth.train.cgan import load_generator
+
+    G, bn, cfg, meta = load_generator(npz_path)
+    if meta.get("arch", "conv") != "conv":
+        raise KeyError(f"arch={meta.get('arch')} has no reference torch "
+                       "equivalent (conv only)")
+    torch.save(reverse_cgan_generator(G, bn), out_pth)
+    return meta
+
+
 def main():
     ap = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     ap.add_argument("--runs_dir", type=str, required=True,
                     help="reference timegan_runs/ with posture*_{no,with}_exo dirs, "
-                         "or (--family cgan) cgan_runs/ with per-tag dirs")
+                         "or (--family cgan) cgan_runs/ with per-tag dirs; "
+                         "with --reverse: OUR runs dir of NPZ/orbax checkpoints")
     ap.add_argument("--out_dir", type=str, required=True)
     ap.add_argument("--family", type=str, default="timegan",
                     choices=["timegan", "cgan"])
     ap.add_argument("--which", type=str, default="both",
                     choices=["best", "latest", "both"],
                     help="timegan family only; cgan converts every *.pth found")
+    ap.add_argument("--reverse", action="store_true",
+                    help="export eegsynth checkpoints TO the reference's torch "
+                         "formats (ckpt_*.pt / CGAN_generator_*_best.pth) so "
+                         "the reference's own scripts can run on our weights")
     args = ap.parse_args()
 
     runs_root, out_root = Path(args.runs_dir), Path(args.out_dir)
+
+    if args.reverse:
+        n = 0
+        if args.family == "cgan":
+            for src in sorted(runs_root.rglob("CGAN_generator_*.npz")) + \
+                    sorted(p for p in runs_root.rglob("CGAN_generator_*.orbax")
+                           if p.is_dir()):
+                dst = (out_root / src.parent.relative_to(runs_root)
+                       / (src.stem + ".pth"))
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                try:
+                    reverse_cgan_file(src, dst)
+                except KeyError as e:
+                    print(f"[SKIP] {src.relative_to(runs_root)}: {e}", flush=True)
+                    continue
+                print(f"[OK] {src.relative_to(runs_root)} -> {dst}", flush=True)
+                n += 1
+        else:
+            from eegsynth.train.checkpoint import find_checkpoint
+            names = {"best": ["ckpt_best"], "latest": ["ckpt_latest"],
+                     "both": ["ckpt_best", "ckpt_latest"]}[args.which]
+            for rd in sorted(runs_root.iterdir()):
+                if not (rd.is_dir()
+                        and re.match(r"posture\d+_(with_exo|no_exo)$", rd.name)):
+                    continue
+                for stem in names:
+                    src = find_checkpoint(rd, stem)
+                    if src is None:
+                        continue
+                    dst_dir = out_root / rd.name
+                    dst_dir.mkdir(parents=True, exist_ok=True)
+                    dst = dst_dir / f"{stem}.pt"
+                    meta = reverse_timegan_file(src, dst)
+                    print(f"[OK] {rd.name}/{src.name} -> {dst}  "
+                          f"(z={meta['z_dim']}, h={meta['h_dim']})", flush=True)
+                    n += 1
+        if n == 0:
+            raise SystemExit(f"No checkpoints exported from {runs_root}")
+        print(f"Exported {n} checkpoints into {out_root}")
+        return
 
     if args.family == "cgan":
         n = 0

@@ -86,6 +86,13 @@ def main():
                          "instead of independent per-step permutation batches "
                          "(A/B instrument for the documented sampling "
                          "deviation; see QUALITY.md)")
+    ap.add_argument("--bucket_weights", type=str, default=None,
+                    help="with --parallel_buckets: per-bucket G-loss weight "
+                         "overrides as inline JSON or a JSON file path — "
+                         '{"<bucket>": {"gamma_acf": 0.1, ...}}; weights from '
+                         "alpha_sup/beta_rec/gamma_cov/gamma_acf enter the "
+                         "chunk as a traced per-bucket matrix (framework "
+                         "extra; tune with scripts/sweep_timegan.py)")
     ap.add_argument("--pallas_multigru", action="store_true",
                     help="with --parallel_buckets + fused_step: run all "
                          "stacked buckets' D-input recurrences in one Pallas "
@@ -150,13 +157,25 @@ def main():
             raise SystemExit("--resume is not supported with --parallel_buckets "
                              "(the vmapped trainer has no mid-run checkpoints); "
                              "drop one flag or finish the run sequentially.")
+        bucket_weights = None
+        if args.bucket_weights:
+            import json as _json
+            bw = args.bucket_weights
+            bucket_weights = (_json.load(open(bw)) if Path(bw).is_file()
+                              else _json.loads(bw))
         from eegsynth.train.timegan_multi import train_all_buckets
         res = train_all_buckets(data_dir, out_root, mesh=mesh,
-                                profile_dir=args.profile_dir, **hp)
+                                profile_dir=args.profile_dir,
+                                bucket_weights=bucket_weights, **hp)
         print(f"\nAggregate: {res['aggregate_steps_per_sec']:.1f} GAN steps/s "
               f"across {res['n_buckets']} buckets "
               f"({res['total_seconds']:.1f}s total)")
     else:
+        if args.bucket_weights:
+            raise SystemExit("--bucket_weights requires --parallel_buckets "
+                             "(the sequential trainer takes plain "
+                             "--alpha_sup/--beta_rec/--gamma_cov/--gamma_acf "
+                             "per run)")
         from eegsynth.train.timegan import train_single_npz
         for fp in files:
             run_dir = out_root / fp.stem
