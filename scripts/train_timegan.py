@@ -163,6 +163,8 @@ def main():
             bw = args.bucket_weights
             bucket_weights = (_json.load(open(bw)) if Path(bw).is_file()
                               else _json.loads(bw))
+            bucket_weights = {k: v for k, v in bucket_weights.items()
+                              if not k.startswith("_")}   # "_comment" keys
         from eegsynth.train.timegan_multi import train_all_buckets
         res = train_all_buckets(data_dir, out_root, mesh=mesh,
                                 profile_dir=args.profile_dir,
