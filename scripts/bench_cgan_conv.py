@@ -104,6 +104,7 @@ def build_fns(jax, jnp):
 
 
 def bench(step, x0, iters):
+    """step must chain its output into its input; iters outer dispatches."""
     val, x = step(x0)
     float(val)                       # compile + warm
     t0 = time.perf_counter()
@@ -117,18 +118,22 @@ def bench(step, x0, iters):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=10,
+                    help="outer dispatches (each runs --inner chained steps)")
+    ap.add_argument("--inner", type=int, default=20,
+                    help="in-jit chained iterations per dispatch (removes "
+                         "enqueue overhead from the per-step number)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
-    print(f"backend={jax.default_backend()} B={args.batch} iters={args.iters}",
-          flush=True)
+    print(f"backend={jax.default_backend()} B={args.batch} "
+          f"iters={args.iters}x{args.inner}", flush=True)
     d_weights, g_weights = make_stacks(jnp, jax)
     d_stack, g_stack = build_fns(jax, jnp)
     ws_d = d_weights(jax.random.key(0))
     ws_g = g_weights(jax.random.key(1))
-    B = args.batch
+    B, INNER = args.batch, args.inner
 
     results = {}
     for kind in ("nch", "nwc", "matmul"):
@@ -139,12 +144,14 @@ def main():
 
         @jax.jit
         def d_step(x, _ws=tuple(ws_d), _k=kind):
-            val, g = vg(list(_ws), x)
-            x2 = jnp.tanh(x + val * 1e-12 + g[0][0].sum() * 1e-9)
-            return val, x2
+            def body(_, carry):
+                val, x = carry
+                v, g = vg(list(_ws), x)
+                return v, jnp.tanh(x + v * 1e-12 + g[0][0].sum() * 1e-9)
+            return jax.lax.fori_loop(0, INNER, body, (jnp.float32(0), x))
 
         x0 = jax.random.normal(jax.random.key(2), (B, 14, 768), jnp.float32)
-        ms_d = bench(d_step, x0, args.iters)
+        ms_d = bench(d_step, x0, args.iters) / INNER
 
         def g_loss(ws, h):
             return jnp.sum(g_stack(kind, ws, h) ** 2)
@@ -153,12 +160,14 @@ def main():
 
         @jax.jit
         def g_step(h, _ws=tuple(ws_g), _k=kind):
-            val, g = vg2(list(_ws), h)
-            h2 = jnp.tanh(h + val * 1e-12 + g[0][0].sum() * 1e-9)
-            return val, h2
+            def body(_, carry):
+                val, h = carry
+                v, g = vg2(list(_ws), h)
+                return v, jnp.tanh(h + v * 1e-12 + g[0][0].sum() * 1e-9)
+            return jax.lax.fori_loop(0, INNER, body, (jnp.float32(0), h))
 
         h0 = jax.random.normal(jax.random.key(3), (B, 512, 24), jnp.float32)
-        ms_g = bench(g_step, h0, args.iters)
+        ms_g = bench(g_step, h0, args.iters) / INNER
         results[kind] = (ms_d, ms_g)
         print(f"{kind:>7}: D trunk fwd+bwd {ms_d:8.3f} ms | "
               f"G stack fwd+bwd {ms_g:8.3f} ms", flush=True)
