@@ -115,7 +115,8 @@ def _advance_keys(keys, tag: int):
 
 
 def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
-                      profile_dir=None, bucket_weights=None, **hparams) -> dict:
+                      profile_dir=None, bucket_weights=None, max_stack: int = 7,
+                      **hparams) -> dict:
     """Vmapped multi-bucket training; writes the same per-bucket artifact set
     (train_log.csv, ckpt_latest/ckpt_best, synthetic.npz) as the sequential
     driver. Returns aggregate throughput stats.
@@ -132,6 +133,17 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     executable. Buckets not named keep the hp defaults; ``None`` (default)
     bakes the hp floats in as constants (bit-identical to the pre-weights
     trainer).
+
+    ``max_stack``: GAN-phase dispatches vmap at most this many buckets at
+    once; larger runs split into sequentially-dispatched sub-stacks with the
+    SAME per-bucket semantics (every bucket's RNG stream is keyed by its
+    global index, so the grouping feeds each bucket identical batches/noise;
+    trajectories track within f32 reduction-order noise — unit-tested).
+    Round-3 empirical limit: the remote TPU runtime in this environment
+    crashes its worker process compiling vmapped GAN-chunk executables with
+    nb ≥ 8 (nb ≤ 7 fine, AE/SUP phases fine at any nb; round 2's environment
+    ran nb=18). Meshes shard the bucket axis across devices instead, so the
+    split only applies to single-device runs.
     """
     out_root = Path(out_root)
     # fused-scan GAN step is the measured winner for the vmapped trainer
@@ -229,16 +241,35 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     best_params = params
     best_loss = jnp.full((nb,), jnp.inf, jnp.float32)
     best_step = jnp.zeros((nb,), jnp.int32)
-    all_logs = []
+    # sub-stacks (see max_stack in the docstring); one group == the old path
+    if mesh is not None or nb <= max_stack:
+        slices = [slice(0, nb)]
+    else:
+        # balance group sizes (8 → 4+4, 18 → 6+6+6): equal shapes share ONE
+        # compiled executable instead of paying a cold compile per odd tail
+        ngroups = -(-nb // max_stack)
+        base, rem = divmod(nb, ngroups)
+        sizes = [base + (1 if i < rem else 0) for i in range(ngroups)]
+        edges = np.concatenate([[0], np.cumsum(sizes)])
+        slices = [slice(int(a), int(b)) for a, b in zip(edges[:-1], edges[1:])]
+        print(f"==> GAN phase in {len(slices)} sub-stacks {sizes} "
+              "(runtime nb limit; semantics unchanged)", flush=True)
+    tsl = lambda tree, sl: jax.tree_util.tree_map(lambda a: a[sl], tree)
+    groups = [{"params": tsl(params, sl), "d": tsl(d_state, sl),
+               "g": tsl(g_state, sl), "bp": tsl(best_params, sl),
+               "bl": best_loss[sl], "bs": best_step[sl], "X": X[sl],
+               "nv": n_valid[sl].astype(jnp.float32),
+               "gw": None if gw is None else gw[sl], "logs": []}
+              for sl in slices]
     # Print one chunk behind the dispatch frontier: the pull of chunk k's logs
     # (a tunnel round-trip) overlaps chunk k+1's device work instead of
-    # serializing every dispatch. all_logs holds DEVICE arrays; one batched
+    # serializing every dispatch. logs hold DEVICE arrays; one batched
     # device_get after the loop fetches them all.
     pending = None  # (step count, device logs) of the last dispatched chunk
 
     def show(p):
         p_done, p_logs = p
-        row = np.asarray(p_logs)[:, -1, :]
+        row = np.concatenate([np.asarray(lg)[:, -1, :] for lg in p_logs])
         print(f"[GAN] step {p_done}/{hp.gan_steps}  mean over {nb} buckets: "
               f"D={row[:, 0].mean():.4f} acc≈{row[:, 1].mean():.2f} "
               f"G={row[:, 2].mean():.4f}", flush=True)
@@ -252,21 +283,38 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     while done < hp.gan_steps:
         n_steps = min(hp.chunk, hp.gan_steps - done)
         keys = _advance_keys(keys, 4)  # chained: input differs each chunk
-        extra = (n_valid.astype(jnp.float32),) if gw is None else \
-            (n_valid.astype(jnp.float32), gw)
-        (params, d_state, g_state, best_params, best_loss, best_step, _), logs = \
-            gan_chunk(params, d_state, g_state, best_params, best_loss, best_step,
-                      keys, jnp.int32(done),
-                      jnp.arange(1, n_steps + 1, dtype=jnp.int32), X, *extra)
+        steps_arr = jnp.arange(1, n_steps + 1, dtype=jnp.int32)
+        chunk_logs = []
+        for grp, sl in zip(groups, slices):
+            extra = (grp["nv"],) if grp["gw"] is None else (grp["nv"], grp["gw"])
+            (grp["params"], grp["d"], grp["g"], grp["bp"], grp["bl"],
+             grp["bs"], _), logs = gan_chunk(
+                grp["params"], grp["d"], grp["g"], grp["bp"], grp["bl"],
+                grp["bs"], keys[sl], jnp.int32(done), steps_arr,
+                grp["X"], *extra)
+            grp["logs"].append(logs)               # (nb_g, n_steps, 8) device
+            chunk_logs.append(logs)
         done += n_steps
         if pending is not None:
             show(pending)
-        pending = (done, logs)
-        all_logs.append(logs)                      # (nb, n_steps, 8) on device
+        pending = (done, chunk_logs)
     if pending is not None:
         # barrier: this pull is data-dependent on the whole run, so the clock
         # below stops only after every chunk has executed (timing protocol)
         show(pending)
+    # stitch the sub-stacks back into full (nb, ...) stacked trees
+    if len(groups) == 1:
+        g0 = groups[0]
+        params, d_state, g_state = g0["params"], g0["d"], g0["g"]
+        best_params, best_loss, best_step = g0["bp"], g0["bl"], g0["bs"]
+        all_logs = g0["logs"]
+    else:
+        cat = lambda key: jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *[g[key] for g in groups])
+        params, d_state, g_state = cat("params"), cat("d"), cat("g")
+        best_params, best_loss, best_step = cat("bp"), cat("bl"), cat("bs")
+        all_logs = [jnp.concatenate([g["logs"][c] for g in groups], axis=0)
+                    for c in range(len(groups[0]["logs"]))]
     gan_seconds = time.perf_counter() - t0
     if prof is not None:
         prof.__exit__(None, None, None)

@@ -57,3 +57,35 @@ def test_train_all_buckets_sharded_over_mesh(tmp_path):
     for name in ("posture1_no_exo", "posture1_with_exo", "posture2_no_exo"):
         assert (out / name / "synthetic.npz").exists()
     assert not (out / "posture2_no_exo.1").exists()
+
+
+def test_sub_stack_grouping_is_semantics_neutral(tmp_path):
+    """max_stack splits the GAN phase into sequential sub-stack dispatches
+    (round-3 workaround for the remote runtime's nb>=8 worker crash); every
+    bucket's RNG stream is keyed by its global index, so the grouping feeds
+    every bucket identical batches/noise — trajectories must track within
+    f32 reduction-order noise (vmap width changes XLA fusion order, so
+    bit-identity is not expected)."""
+    rng = np.random.default_rng(3)
+    data = tmp_path / "prep"
+    data.mkdir()
+    for i, n in enumerate((6, 9, 4, 7, 5)):
+        np.savez_compressed(data / f"posture{i+1}_no_exo.npz",
+                            X=rng.uniform(0, 1, (n, 32, 3)).astype(np.float32),
+                            fs=np.float32(128.0))
+    kw = dict(ae_epochs=1, sup_epochs=1, gan_steps=4, chunk=2, batch_size=4,
+              acf_max_lag=8)
+    train_all_buckets(data, tmp_path / "whole", max_stack=99, **kw)
+    train_all_buckets(data, tmp_path / "split", max_stack=2, **kw)
+    def vals(root, name):
+        rows = (root / name / "train_log.csv").read_text().strip().split("\n")[1:]
+        return np.array([r.split(",")[2:] for r in rows], dtype=float)
+
+    for i in range(5):
+        name = f"posture{i+1}_no_exo"
+        np.testing.assert_allclose(vals(tmp_path / "split", name),
+                                   vals(tmp_path / "whole", name),
+                                   rtol=1e-3, atol=1e-5, err_msg=name)
+        sa = np.load(tmp_path / "whole" / name / "synthetic.npz")["X"]
+        sb = np.load(tmp_path / "split" / name / "synthetic.npz")["X"]
+        np.testing.assert_allclose(sb, sa, rtol=1e-2, atol=1e-3)
