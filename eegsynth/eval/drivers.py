@@ -167,6 +167,18 @@ def run_timegan_eval(real_dir, synth_dir, out, fs: float = 128.0,
     if not pairs:
         raise SystemExit("No matching real/synthetic pairs found.")
 
+    # Mixed sequence lengths (e.g. generate_long_synth --gen_seconds with
+    # per-bucket estimated fs: round(6·128.17)=769) break the global concat.
+    # The reference's evaluate_18 crashes on such input; truncate every
+    # corpus to the common min T instead — GRU scorers and the statistics
+    # are length-consistent under a shared T.
+    t_min = min(min(r.shape[1], f.shape[1]) for r, f in pairs.values())
+    if any(a.shape[1] != t_min for pair in pairs.values() for a in pair):
+        print(f"[eval] WARN: mixed sequence lengths across pairs — "
+              f"truncating all corpora to T={t_min}", flush=True)
+        pairs = {k: (r[:, :t_min], f[:, :t_min])
+                 for k, (r, f) in pairs.items()}
+
     keys = sorted(pairs.keys())
     real_labels, fake_labels = [], []
     for keyid in keys:

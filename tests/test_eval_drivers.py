@@ -141,3 +141,22 @@ def test_batched_scores_mesh_equivalence(rng):
     for got, exp in zip(predictive_scores_batch(tasks, epochs=4, mesh=mesh),
                         predictive_scores_batch(tasks, epochs=4)):
         np.testing.assert_allclose(got, exp, rtol=1e-4)
+
+
+def test_run_timegan_eval_mixed_seq_lengths(tmp_path, rng):
+    """Synthetic corpora of different T (gen_seconds x per-bucket estimated fs
+    rounds to 769 for some buckets) must evaluate by truncating to the common
+    min T instead of crashing the global concat (the reference's evaluate_18
+    crashes on such input; found by the round-3 pipeline hardware run)."""
+    real_dir = tmp_path / "preprocessed"
+    synth_dir = tmp_path / "runs"
+    out = tmp_path / "eval_out"
+    for p, t_f in ((1, 17), (2, 16)):       # one fake corpus a sample longer
+        X = rng.normal(0.5, 0.1, size=(10, 16, 3))
+        _save(real_dir / f"posture{p}_no_exo.npz", X, fs=128.0)
+        _save(synth_dir / f"posture{p}_no_exo" / "synthetic.npz",
+              rng.normal(0.5, 0.1, size=(10, t_f, 3)))
+    res = run_timegan_eval(real_dir, synth_dir, out, by_condition=True,
+                           tsne_max=40)
+    assert res["global"]["seq_len"] == 16
+    assert np.isfinite(res["global"]["coh_diff"])
