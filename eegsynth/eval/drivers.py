@@ -169,14 +169,22 @@ def run_timegan_eval(real_dir, synth_dir, out, fs: float = 128.0,
 
     # Mixed sequence lengths (e.g. generate_long_synth --gen_seconds with
     # per-bucket estimated fs: round(6·128.17)=769) break the global concat.
-    # The reference's evaluate_18 crashes on such input; truncate every
-    # corpus to the common min T instead — GRU scorers and the statistics
-    # are length-consistent under a shared T.
-    t_min = min(min(r.shape[1], f.shape[1]) for r, f in pairs.values())
+    # The reference's evaluate_18 crashes on such input. Per-bucket stats
+    # truncate each pair to ITS OWN min T (one short/corrupt synthetic file
+    # must not shorten every other pair's evaluation window); only the
+    # cross-bucket global concat enforces the global min. Offending pairs are
+    # named so a bad input is visible, not silently absorbed.
+    t_pair = {k: min(r.shape[1], f.shape[1]) for k, (r, f) in pairs.items()}
+    t_min = min(t_pair.values())
     if any(a.shape[1] != t_min for pair in pairs.values() for a in pair):
-        print(f"[eval] WARN: mixed sequence lengths across pairs — "
-              f"truncating all corpora to T={t_min}", flush=True)
-        pairs = {k: (r[:, :t_min], f[:, :t_min])
+        t_max = max(max(r.shape[1], f.shape[1]) for r, f in pairs.values())
+        offenders = sorted(str(k) for k, (r, f) in pairs.items()
+                           if min(r.shape[1], f.shape[1]) < t_max)
+        print(f"[eval] WARN: mixed sequence lengths across pairs "
+              f"(min T={t_min} from {offenders}) — per-bucket stats use each "
+              f"pair's own min T; the global concat truncates to T={t_min}",
+              flush=True)
+        pairs = {k: (r[:, :t_pair[k]], f[:, :t_pair[k]])
                  for k, (r, f) in pairs.items()}
 
     keys = sorted(pairs.keys())
@@ -185,8 +193,8 @@ def run_timegan_eval(real_dir, synth_dir, out, fs: float = 128.0,
         posture = keyid[0] if by_condition else keyid
         real_labels += [posture] * len(pairs[keyid][0])
         fake_labels += [posture] * len(pairs[keyid][1])
-    R = np.concatenate([pairs[k][0] for k in keys])
-    F = np.concatenate([pairs[k][1] for k in keys])
+    R = np.concatenate([pairs[k][0][:, :t_min] for k in keys])
+    F = np.concatenate([pairs[k][1][:, :t_min] for k in keys])
 
     # Batched scorer pass: every pair's discriminative classifier (and the
     # global one) trains in a handful of vmapped dispatches instead of one

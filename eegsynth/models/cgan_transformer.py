@@ -47,6 +47,13 @@ class TransformerCGANConfig(CGANConfig):
     patch: int = 8              # samples per token → 768/8 = 96 tokens
     mlp_ratio: int = 4
     attn_impl: str | None = None  # None → module default ("auto")
+    # Rematerialize the discriminator blocks (jax.checkpoint): the R1 penalty
+    # double-differentiates the D trunk, and under vmapped weight sweeps the
+    # per-point double-backward residuals of every block are what OOMs the
+    # 16 GB HBM above 5 stacked points (round-3 limit). Numerics-identical
+    # (same ops re-executed); off by default for the single-model trainers
+    # where memory is not the constraint.
+    remat: bool = False
 
     @property
     def tokens(self) -> int:
@@ -184,8 +191,8 @@ def disc_features(params, x: jax.Array, train: bool = True, *,
     h = x.astype(params["pos"].dtype).transpose(0, 2, 1)     # (B, T, C)
     h = h.reshape(b, l, cfg.patch * c)
     h = _dense(params["embed_in"], h) + params["pos"][None, :l]
-    for i in range(cfg.depth):
-        blk = params[f"blk{i}"]
+
+    def block(blk, h):
         # Discriminator attention pins the XLA path: the R1 penalty
         # differentiates the D twice and the flash kernel's custom VJP is
         # first-order only (same rationale as the GRU discriminator,
@@ -193,6 +200,12 @@ def disc_features(params, x: jax.Array, train: bool = True, *,
         # is the faster path anyway.
         h = h + _attn_apply(blk["attn"], _ln(h), cfg.heads, "xla")
         h = h + _mlp_apply(blk["mlp"], _ln(h))
+        return h
+
+    if cfg.remat:
+        block = jax.checkpoint(block)
+    for i in range(cfg.depth):
+        h = block(params[f"blk{i}"], h)
     h = _ln(h) * params["ln_g"] + params["ln_b"]
     return jnp.mean(h, axis=1), params
 

@@ -153,6 +153,9 @@ class CGANHParams:
     tf_depth: int = 4
     tf_heads: int = 4
     tf_patch: int = 8
+    # remat the transformer D blocks (models/cgan_transformer.py: R1's
+    # double-backward residuals are the vmapped-sweep HBM limit)
+    tf_remat: bool = False
     # "bf16" runs the D-step conv trunks in bfloat16 (f32 master weights,
     # f32 power iteration/head/losses) — the TPU analogue of the reference's
     # AMP-on-D (cgan.py:351,399-426). R1 and the G step stay f32, exactly as
@@ -675,7 +678,8 @@ def build_cfg(hp: CGANHParams, num_classes: int):
         return TransformerCGANConfig(
             noise_dim=hp.noise_dim, num_classes=num_classes,
             proj_scale=hp.proj_scale, variant=hp.variant, dim=hp.tf_dim,
-            depth=hp.tf_depth, heads=hp.tf_heads, patch=hp.tf_patch)
+            depth=hp.tf_depth, heads=hp.tf_heads, patch=hp.tf_patch,
+            remat=hp.tf_remat)
     return CGANConfig(noise_dim=hp.noise_dim, num_classes=num_classes,
                       proj_scale=hp.proj_scale, variant=hp.variant)
 

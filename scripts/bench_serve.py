@@ -22,7 +22,7 @@ import json
 import socket
 import threading
 import time
-from http.client import HTTPConnection
+from http.client import HTTPConnection, HTTPException
 
 import numpy as np
 
@@ -54,7 +54,11 @@ def run_load(host, port, plans, clients, seconds, hold_hung=True):
                 data = r.read()
                 c.close()
                 ok = r.status == 200 and len(data) > 0
-            except OSError:
+            except (OSError, HTTPException, ValueError):
+                # HTTPException covers malformed/truncated responses
+                # (BadStatusLine etc.); ValueError covers bad reads. A broken
+                # response must count as an error, not kill the client thread
+                # (which would silently skew req/s and the percentiles).
                 ok = False
             dt = time.monotonic() - t0
             with lock:

@@ -46,8 +46,14 @@ def main():
     from eegsynth.train.cgan import generate_batch, load_generator
 
     np.random.seed(args.seed)
-    postures = (range(1, 10) if args.postures == "all"
+    postures = (list(range(1, 10)) if args.postures == "all"
                 else [int(p) for p in args.postures.split(",")])
+    if args.v2_split and postures != sorted(postures):
+        # the v2 positional-bug reproduction assumes the global arrays are
+        # posture-block ordered ascending (the reference iterates POSTURES in
+        # order); an arbitrary order would silently reproduce neither v2 nor v3
+        print(f"--v2-split requires ascending posture order; sorting {postures}")
+        postures = sorted(postures)
     save_root = Path(args.save_root)
     save_root.mkdir(parents=True, exist_ok=True)
 

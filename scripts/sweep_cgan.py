@@ -81,6 +81,11 @@ def main():
                          '\'[{}, {"psd_weight": 4.0}]\' ({} = current defaults)')
     ap.add_argument("--epochs", type=int, default=600)
     ap.add_argument("--arch", choices=["conv", "transformer"], default="transformer")
+    ap.add_argument("--no-tf-remat", action="store_true",
+                    help="disable jax.checkpoint on the transformer D blocks "
+                         "(remat is the sweep default: R1's double-backward "
+                         "residuals × S stacked points are what OOMs the HBM "
+                         "above 5 points without it)")
     ap.add_argument("--samples-per-posture", type=int, default=400)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--platform", choices=["default", "cpu"], default="default")
@@ -103,7 +108,9 @@ def main():
 
     results = sweep_condition(data_dir, args.out, args.condition, grid,
                               epochs=args.epochs, seed=args.seed,
-                              arch=args.arch)
+                              arch=args.arch,
+                              tf_remat=(args.arch == "transformer"
+                                        and not args.no_tf_remat))
 
     # eval every point with the same protocol as eval_cgan.py
     np.random.seed(123)

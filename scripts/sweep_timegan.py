@@ -51,9 +51,19 @@ def main():
 
     hp = {}
     if args.config:
+        # shared trainer configs carry driver-level keys (data_dir,
+        # parallel_buckets, bucket_weights, ...) that are not TimeGANHParams
+        # fields — filter to the dataclass's own fields and say what was
+        # dropped instead of letting TimeGANHParams(**hp) raise a TypeError
+        import dataclasses
+        from eegsynth.train.timegan import TimeGANHParams
+        fields = {f.name for f in dataclasses.fields(TimeGANHParams)}
         with open(args.config) as f:
-            hp.update({k: v for k, v in json.load(f).items()
-                       if k not in ("data_dir", "out_dir")})
+            cfg = json.load(f)
+        unknown = sorted(set(cfg) - fields)
+        if unknown:
+            print(f"[tsweep] ignoring non-hparam config keys: {unknown}")
+        hp.update({k: v for k, v in cfg.items() if k in fields})
     for k in ("ae_epochs", "sup_epochs", "gan_steps", "batch_size", "seed"):
         if getattr(args, k) is not None:
             hp[k] = getattr(args, k)

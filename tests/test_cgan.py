@@ -469,3 +469,6 @@ def test_cgan_pipelined_logs_complete_with_odd_boundaries(tmp_path):
     assert (run_dir / "CGAN_generator_no_exo_epoch4.npz").exists()
     assert (run_dir / "CGAN_generator_no_exo_last.npz").exists()
     assert np.isfinite(res["best_g"])
+
+# integration tier: full trainer loops / golden end-to-end drives (fast lane: -m "not slow")
+pytestmark = pytest.mark.slow

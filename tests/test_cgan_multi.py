@@ -68,3 +68,6 @@ def test_parallel_postures_mesh_sharded(tmp_path, posture_data):
     assert res["best_g"].shape == (2,) and np.all(np.isfinite(res["best_g"]))
     assert sorted(d.name for d in (tmp_path / "runs").iterdir()) == \
         ["posture1", "posture2"]
+
+# integration tier: full trainer loops / golden end-to-end drives (fast lane: -m "not slow")
+pytestmark = pytest.mark.slow

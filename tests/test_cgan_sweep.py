@@ -167,3 +167,6 @@ def test_sweep_condition_end_to_end(tmp_path, rng):
         assert set(r["stats"]) >= {"psd_l1", "acf_l1", "coh_l1"}
         assert np.isfinite(r["stats"]["psd_l1"])
         assert (tmp_path / "sweep" / f"sweep{i}" / "stats_similarity.csv").exists()
+
+# integration tier: full trainer loops / golden end-to-end drives (fast lane: -m "not slow")
+pytestmark = pytest.mark.slow

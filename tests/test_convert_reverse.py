@@ -174,3 +174,6 @@ def test_cgan_reverse_refuses_transformer(tmp_path):
     save_checkpoint(fp, {"model": G, "bn": bn}, generator_meta(hp, 9, "no_exo"))
     with pytest.raises(KeyError, match="transformer"):
         reverse_cgan_file(fp, root / "out.pth")
+
+# integration tier: full trainer loops / golden end-to-end drives (fast lane: -m "not slow")
+pytestmark = pytest.mark.slow

@@ -78,3 +78,6 @@ def test_gan_chunk_epoch_cycle_runs_and_rejects_stacked():
                        jnp.int32(0), key, jnp.int32(0),
                        jnp.arange(1, 5, dtype=jnp.int32), X)
     assert np.isfinite(np.asarray(logs)).all()
+
+# integration tier: full trainer loops / golden end-to-end drives (fast lane: -m "not slow")
+pytestmark = pytest.mark.slow

@@ -160,3 +160,28 @@ def test_run_timegan_eval_mixed_seq_lengths(tmp_path, rng):
                            tsne_max=40)
     assert res["global"]["seq_len"] == 16
     assert np.isfinite(res["global"]["coh_diff"])
+
+
+def test_run_timegan_eval_short_pair_does_not_shorten_others(tmp_path, rng):
+    """One short/corrupt synthetic corpus must not shrink the evaluation
+    window of the other well-formed pairs: per-bucket stats use each pair's
+    OWN min T; only the global concat truncates to the global min
+    (round-3 advisor finding)."""
+    real_dir = tmp_path / "preprocessed"
+    synth_dir = tmp_path / "runs"
+    out = tmp_path / "eval_out"
+    for p, t_f in ((1, 16), (2, 12)):       # posture2's synthetic is short
+        X = rng.normal(0.5, 0.1, size=(10, 16, 3))
+        _save(real_dir / f"posture{p}_no_exo.npz", X, fs=128.0)
+        _save(synth_dir / f"posture{p}_no_exo" / "synthetic.npz",
+              rng.normal(0.5, 0.1, size=(10, t_f, 3)))
+    res = run_timegan_eval(real_dir, synth_dir, out, by_condition=True,
+                           tsne_max=40)
+    by_posture = {row["posture"]: row for row in res["rows"]}
+    assert by_posture[1]["seq_len"] == 16    # full window kept
+    assert by_posture[2]["seq_len"] == 12    # its own min, not global max
+    assert res["global"]["seq_len"] == 12    # concat needs the global min
+    assert np.isfinite(res["global"]["coh_diff"])
+
+# integration tier: full trainer loops / golden end-to-end drives (fast lane: -m "not slow")
+pytestmark = pytest.mark.slow

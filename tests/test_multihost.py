@@ -185,3 +185,6 @@ def test_coordinator_writes_once(multihost_outputs):
     artifacts = sorted(out.glob("coordinator_artifact_*.json"))
     assert [p.name for p in artifacts] == ["coordinator_artifact_0.json"]
     assert json.loads(artifacts[0].read_text()) == {"process_index": 0}
+
+# integration tier: full trainer loops / golden end-to-end drives (fast lane: -m "not slow")
+pytestmark = pytest.mark.slow

@@ -1,6 +1,7 @@
 """Parity of the fused multi-network multi-bucket Pallas kernel against the
 XLA fused scan it replaces (interpret mode — no TPU in CI)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -115,3 +116,6 @@ def test_multigru_reference_dims():
     for a, b in zip(got, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+# integration tier: full trainer loops / golden end-to-end drives (fast lane: -m "not slow")
+pytestmark = pytest.mark.slow

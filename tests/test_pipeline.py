@@ -131,3 +131,6 @@ def test_relative_paths_resolve_against_caller_cwd(corpus, tmp_path):
         cwd=tmp_path, capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr
     assert f"work_dir={tmp_path / 'w'}" in r.stdout
+
+# integration tier: full trainer loops / golden end-to-end drives (fast lane: -m "not slow")
+pytestmark = pytest.mark.slow

@@ -271,3 +271,6 @@ def test_visualization_cgan_cli(tmp_path, monkeypatch):
     for cond in ("no_exo", "with_exo"):
         assert (out / "zooms" / f"zoom_p1_{cond}_pca.png").exists()
         assert (out / "zooms" / f"zoom_p1_{cond}_tsne.png").exists()
+
+# integration tier: full trainer loops / golden end-to-end drives (fast lane: -m "not slow")
+pytestmark = pytest.mark.slow

@@ -226,3 +226,6 @@ def test_serve_bf16_precision(tmp_path_factory):
     assert np.isfinite(outs["bf16"]).all()
     corr = np.corrcoef(outs["f32"].ravel(), outs["bf16"].ravel())[0, 1]
     assert corr > 0.999, corr
+
+# integration tier: full trainer loops / golden end-to-end drives (fast lane: -m "not slow")
+pytestmark = pytest.mark.slow

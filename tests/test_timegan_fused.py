@@ -1,5 +1,6 @@
 """Fused GRU cascades == composed applications (forward and gradients)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -97,3 +98,6 @@ def test_fused_disc_inputs_matches_composition(rng):
                                atol=2e-6)
     ref_fake = refine_latent(params, gen_latent(params, z))
     np.testing.assert_allclose(np.asarray(h_fake), np.asarray(ref_fake), atol=2e-6)
+
+# integration tier: full trainer loops / golden end-to-end drives (fast lane: -m "not slow")
+pytestmark = pytest.mark.slow

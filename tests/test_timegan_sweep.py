@@ -155,3 +155,6 @@ def test_sweep_bucket_end_to_end(tmp_path, rng):
                     ).TimeGANHParams()
     with pytest.raises(ValueError, match="unsweepable"):
         timegan_weight_matrix(hp, [{"label_smooth": 0.1}])
+
+# integration tier: full trainer loops / golden end-to-end drives (fast lane: -m "not slow")
+pytestmark = pytest.mark.slow

@@ -89,3 +89,6 @@ def test_sub_stack_grouping_is_semantics_neutral(tmp_path):
         sa = np.load(tmp_path / "whole" / name / "synthetic.npz")["X"]
         sb = np.load(tmp_path / "split" / name / "synthetic.npz")["X"]
         np.testing.assert_allclose(sb, sa, rtol=1e-2, atol=1e-3)
+
+# integration tier: full trainer loops / golden end-to-end drives (fast lane: -m "not slow")
+pytestmark = pytest.mark.slow

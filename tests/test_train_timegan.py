@@ -291,3 +291,6 @@ def test_r1_surrogate_matches_direct_penalty(monkeypatch):
                     jax.tree_util.tree_leaves(outs[False][0])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+# integration tier: full trainer loops / golden end-to-end drives (fast lane: -m "not slow")
+pytestmark = pytest.mark.slow
