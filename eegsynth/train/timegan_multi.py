@@ -115,8 +115,9 @@ def _advance_keys(keys, tag: int):
 
 
 def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
-                      profile_dir=None, bucket_weights=None, max_stack: int = 7,
-                      **hparams) -> dict:
+                      profile_dir=None, bucket_weights=None,
+                      max_stack: int | None = None,
+                      dispatch_budget: int = 2000, **hparams) -> dict:
     """Vmapped multi-bucket training; writes the same per-bucket artifact set
     (train_log.csv, ckpt_latest/ckpt_best, synthetic.npz) as the sequential
     driver. Returns aggregate throughput stats.
@@ -134,16 +135,33 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     bakes the hp floats in as constants (bit-identical to the pre-weights
     trainer).
 
-    ``max_stack``: GAN-phase dispatches vmap at most this many buckets at
-    once; larger runs split into sequentially-dispatched sub-stacks with the
-    SAME per-bucket semantics (every bucket's RNG stream is keyed by its
-    global index, so the grouping feeds each bucket identical batches/noise;
-    trajectories track within f32 reduction-order noise — unit-tested).
-    Round-3 empirical limit: the remote TPU runtime in this environment
-    crashes its worker process compiling vmapped GAN-chunk executables with
-    nb ≥ 8 (nb ≤ 7 fine, AE/SUP phases fine at any nb; round 2's environment
-    ran nb=18). Meshes shard the bucket axis across devices instead, so the
-    split only applies to single-device runs.
+    ``dispatch_budget``: cap on device work per GAN dispatch, in
+    reference-scaled bucket-steps (nb × steps × (B/64) × (T/768) per
+    dispatch). ROOT CAUSE (round-4 bisect, scripts/bisect_nb8.py): the
+    remote TPU runtime in this environment kills its worker when ONE
+    dispatch executes for more than ~55-60 s of device time — round 3's
+    "crashes at nb ≥ 8" rule was this watchdog in disguise (at chunk=500,
+    nb=7 ≈ 54 s squeaked under it; nb=7 × chunk=650 and nb=2 × chunk=2500
+    crash identically, nb=18 × chunk=125 is fine). The fix is to cap the
+    per-dispatch step count, NOT to split the bucket stack: all nb buckets
+    stay in ONE vmapped executable (measured on the v5e: nb=8 single-stack
+    64.3 agg steps/s vs the old 4+4 sub-stacks' 51.7-56.9; nb=18 — the
+    reference's full workload — 71.9 agg steps/s at chunk 125). The default
+    budget of 2000 keeps a dispatch at ~31 s measured, a ~45% margin under
+    the watchdog including the tunnel's ±20% variance. Extra dispatches are
+    ~170 µs-170 ms tunnel round-trips each — <1% of wall at the reference
+    config. RNG note: chunk boundaries key the per-chunk fold_in stream, so
+    a capped run's batch sequence differs from an uncapped one after the
+    first boundary — distribution-identical, same per-bucket semantics
+    (``hp.chunk`` was already such a knob).
+
+    ``max_stack``: legacy escape hatch — if set, GAN dispatches additionally
+    vmap at most this many buckets at once, splitting into
+    sequentially-dispatched sub-stacks with identical per-bucket semantics
+    (unit-tested). Default ``None`` (no sub-stacking): the round-3
+    workaround for the watchdog crash above, superseded by
+    ``dispatch_budget``; meshes shard the bucket axis across devices and
+    never sub-stack.
     """
     out_root = Path(out_root)
     # fused-scan GAN step is the measured winner for the vmapped trainer
@@ -241,8 +259,21 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     best_params = params
     best_loss = jnp.full((nb,), jnp.inf, jnp.float32)
     best_step = jnp.zeros((nb,), jnp.int32)
-    # sub-stacks (see max_stack in the docstring); one group == the old path
-    if mesh is not None or nb <= max_stack:
+    # Per-dispatch device-time cap (see dispatch_budget in the docstring).
+    # Work per dispatch scales ~linearly in nb, B and T at this geometry
+    # (BASELINE.md batch-scaling table), so the budget is expressed in
+    # reference-scaled bucket-steps. With a mesh the buckets are spread over
+    # the devices, so the per-device work divides by the mesh size.
+    n_dev_eff = 1 if mesh is None else mesh.devices.size
+    scale = (B_eff / 64.0) * (T / 768.0) * nb / n_dev_eff
+    chunk_eff = max(1, min(hp.chunk, int(dispatch_budget / max(scale, 1e-9))))
+    if chunk_eff < hp.chunk:
+        print(f"==> per-dispatch GAN steps capped {hp.chunk} → {chunk_eff} "
+              f"(dispatch_budget={dispatch_budget} ref bucket-steps; the "
+              "runtime kills dispatches over ~55 s of device time)",
+              flush=True)
+    # legacy sub-stacks (max_stack escape hatch); one group == the default
+    if mesh is not None or max_stack is None or nb <= max_stack:
         slices = [slice(0, nb)]
     else:
         # balance group sizes (8 → 4+4, 18 → 6+6+6): equal shapes share ONE
@@ -281,7 +312,7 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     t0 = time.perf_counter()
     done = 0
     while done < hp.gan_steps:
-        n_steps = min(hp.chunk, hp.gan_steps - done)
+        n_steps = min(chunk_eff, hp.gan_steps - done)
         keys = _advance_keys(keys, 4)  # chained: input differs each chunk
         steps_arr = jnp.arange(1, n_steps + 1, dtype=jnp.int32)
         chunk_logs = []

@@ -42,7 +42,7 @@ def eval_sweep_points(results, Xr, yr, samples_per_posture=400, seed=123,
     eval_cgan.py). Mutates each ``results`` entry with a ``stats`` global row
     and writes ``stats_similarity.csv`` next to the checkpoints."""
     import jax
-    from eegsynth.eval.cgan_eval import stats_similarity
+    from eegsynth.eval.cgan_eval import discriminative_metrics, stats_similarity
     from eegsynth.train.cgan import generate_batch, load_generator
 
     npp = samples_per_posture
@@ -59,11 +59,20 @@ def eval_sweep_points(results, Xr, yr, samples_per_posture=400, seed=123,
             key, sub = jax.random.split(key)
             outs.append(np.asarray(generate_batch(G, bn, cfg, sub, npp, p - 1)))
             labs.append(np.full(npp, p, np.int64))
-        rows = stats_similarity(Xr, np.concatenate(outs), yr,
-                                np.concatenate(labs), d / "stats_similarity.csv")
+        Xg, yg = np.concatenate(outs), np.concatenate(labs)
+        rows = stats_similarity(Xr, Xg, yr, yg, d / "stats_similarity.csv")
         res["stats"] = rows[0]  # global row
+        # the reference's committed discriminative eval is degenerate (LogReg
+        # acc/AUC = 1.0 everywhere, CGAN/cgan_eval/no_exo/
+        # metrics_discriminative.csv) — score every sweep point on the same
+        # protocol so "did any setting push acc below 1.0" is answerable
+        drows = discriminative_metrics(Xr, Xg, yr, yg,
+                                       d / "metrics_discriminative.csv",
+                                       seed=seed)
+        res["disc"] = drows[0]  # global row
         log(f"[sweep] {tag} {res['weights']} → psd_l1={rows[0]['psd_l1']:.1f} "
             f"acf_l1={rows[0]['acf_l1']:.2e} coh_l1={rows[0]['coh_l1']:.3f} "
+            f"logreg_acc={drows[0]['acc']:.3f} "
             f"best_g={res['best_g']:.2f}")
     return results
 

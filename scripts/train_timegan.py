@@ -93,6 +93,16 @@ def main():
                          "alpha_sup/beta_rec/gamma_cov/gamma_acf enter the "
                          "chunk as a traced per-bucket matrix (framework "
                          "extra; tune with scripts/sweep_timegan.py)")
+    ap.add_argument("--dispatch_budget", type=int, default=None,
+                    help="with --parallel_buckets: cap on device work per GAN "
+                         "dispatch in reference-scaled bucket-steps "
+                         "(nb·steps·(B/64)·(T/768)); the remote runtime kills "
+                         "dispatches over ~55 s of device time (default 2000 "
+                         "≈ 31 s measured — see timegan_multi.py)")
+    ap.add_argument("--max_stack", type=int, default=None,
+                    help="legacy escape hatch: additionally vmap at most this "
+                         "many buckets per GAN dispatch (sequential "
+                         "sub-stacks); superseded by --dispatch_budget")
     ap.add_argument("--pallas_multigru", action="store_true",
                     help="with --parallel_buckets + fused_step: run all "
                          "stacked buckets' D-input recurrences in one Pallas "
@@ -166,9 +176,14 @@ def main():
             bucket_weights = {k: v for k, v in bucket_weights.items()
                               if not k.startswith("_")}   # "_comment" keys
         from eegsynth.train.timegan_multi import train_all_buckets
+        extra = {}
+        if args.dispatch_budget is not None:
+            extra["dispatch_budget"] = args.dispatch_budget
+        if args.max_stack is not None:
+            extra["max_stack"] = args.max_stack
         res = train_all_buckets(data_dir, out_root, mesh=mesh,
                                 profile_dir=args.profile_dir,
-                                bucket_weights=bucket_weights, **hp)
+                                bucket_weights=bucket_weights, **extra, **hp)
         print(f"\nAggregate: {res['aggregate_steps_per_sec']:.1f} GAN steps/s "
               f"across {res['n_buckets']} buckets "
               f"({res['total_seconds']:.1f}s total)")

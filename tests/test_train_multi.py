@@ -90,5 +90,37 @@ def test_sub_stack_grouping_is_semantics_neutral(tmp_path):
         sb = np.load(tmp_path / "split" / name / "synthetic.npz")["X"]
         np.testing.assert_allclose(sb, sa, rtol=1e-2, atol=1e-3)
 
+
+def test_dispatch_budget_caps_chunk_equivalently(tmp_path):
+    """dispatch_budget caps per-dispatch GAN steps (the round-4 root-cause
+    fix for the runtime's per-dispatch execution-time watchdog — see
+    timegan_multi.py docstring). A budget that caps chunk 4 -> 1 must produce
+    the SAME trajectories as explicitly setting chunk=1: the cap only moves
+    chunk boundaries, and boundaries fully determine the RNG stream."""
+    rng = np.random.default_rng(5)
+    data = tmp_path / "prep"
+    data.mkdir()
+    for i, n in enumerate((6, 4, 5)):
+        np.savez_compressed(data / f"posture{i+1}_no_exo.npz",
+                            X=rng.uniform(0, 1, (n, 32, 3)).astype(np.float32),
+                            fs=np.float32(128.0))
+    kw = dict(ae_epochs=1, sup_epochs=1, gan_steps=4, batch_size=4,
+              acf_max_lag=8)
+    # scale = (4/64)*(32/768)*3 = 0.0078; budget=0 -> int(0/..)=0 -> max(1,)
+    train_all_buckets(data, tmp_path / "capped", chunk=4, dispatch_budget=0,
+                      **kw)
+    train_all_buckets(data, tmp_path / "explicit", chunk=1, **kw)
+
+    def vals(root, name):
+        rows = (root / name / "train_log.csv").read_text().strip().split("\n")[1:]
+        return np.array([r.split(",")[2:] for r in rows], dtype=float)
+
+    for i in range(3):
+        name = f"posture{i+1}_no_exo"
+        np.testing.assert_array_equal(vals(tmp_path / "capped", name),
+                                      vals(tmp_path / "explicit", name),
+                                      err_msg=name)
+
+
 # integration tier: full trainer loops / golden end-to-end drives (fast lane: -m "not slow")
 pytestmark = pytest.mark.slow
