@@ -31,6 +31,28 @@ def psd_loss(real: jax.Array, fake: jax.Array) -> jax.Array:
     return jnp.mean(jnp.abs(P_f - P_r))
 
 
+def log_psd_loss(real: jax.Array, fake: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """L1 of batch mean AND std of LOG rFFT power (B,C,T) → scalar. Framework
+    extra (no reference analogue): the linear-domain ``psd_loss`` is blind to
+    low-power high-frequency cells that can be off by orders of magnitude in
+    the log domain — exactly the cells the evaluation's LogReg separates real
+    from generated on (its features are log power, eval/features.py:22-35;
+    the round-4 diagnosis found 357 single log-bins each scoring >0.95 acc on
+    the control while the swept linear psd weights moved nothing). The std
+    term targets the second separability mechanism the mean-only version
+    exposed: generated per-sample spectra hug the class mean (std ratio
+    ~0.41 vs real), which LogReg separates radially even with matched means.
+    Normalization (power/(T/2), +1e-6, log) matches the eval features
+    bin-for-bin pre-pooling."""
+    def stats(x):
+        p = rfft_power(x, axis=2) / (x.shape[2] / 2.0 + 1e-8)
+        lp = jnp.log(p + eps)
+        return jnp.mean(lp, axis=0), jnp.std(lp, axis=0)
+    mr, sr = stats(real)
+    mf, sf = stats(fake)
+    return jnp.mean(jnp.abs(mf - mr)) + jnp.mean(jnp.abs(sf - sr))
+
+
 def _pair_coherence(x: jax.Array, sel_a: jax.Array, sel_b: jax.Array) -> jax.Array:
     """Per-sample normalized cross-spectrum magnitude, batch-meaned:
     mean_B |A·conj(B)| / sqrt(|A|²|B|² + 1e-8) → (P, F). Matches the reference's
@@ -85,7 +107,7 @@ def cov_loss(real: jax.Array, fake: jax.Array) -> jax.Array:
 
 def posture_conditional_losses(real: jax.Array, fake: jax.Array, labels: jax.Array,
                                num_classes: int, psd_w: float, coh_w: float,
-                               cov_w: float) -> jax.Array:
+                               cov_w: float, log_psd_w: float = 0.0) -> jax.Array:
     """PSD/coh/cov per posture present in the batch, averaged (cgan.py:313-332).
 
     The reference's data-dependent ``torch.unique`` loop becomes masked
@@ -101,7 +123,7 @@ def posture_conditional_losses(real: jax.Array, fake: jax.Array, labels: jax.Arr
         # traced/device weights always keep their component in the graph
         return isinstance(w, jax.Array) or w > 0
 
-    if not any(_live(w) for w in (psd_w, coh_w, cov_w)):
+    if not any(_live(w) for w in (psd_w, coh_w, cov_w, log_psd_w)):
         return jnp.float32(0.0)
     pairs = jnp.asarray(FIXED_PAIRS)
     onehot = jax.nn.one_hot(labels, num_classes, dtype=real.dtype)  # (B, K)
@@ -125,6 +147,22 @@ def posture_conditional_losses(real: jax.Array, fake: jax.Array, labels: jax.Arr
             P_r = wmean(rfft_power(real, axis=2), wr)
             P_f = wmean(rfft_power(fake, axis=2), wr)
             l = l + psd_w * jnp.mean(jnp.abs(P_f - P_r))
+
+        if _live(log_psd_w):
+            # per-class mean AND std of per-sample LOG power — the
+            # class-conditional moments of the eval's LogReg features
+            # (see log_psd_loss; weighted std via E[x²]−E[x]²)
+            T = real.shape[2]
+            def log_stats(x):
+                p = rfft_power(x, axis=2) / (T / 2.0 + 1e-8)
+                lp = jnp.log(p + 1e-6)
+                m = wmean(lp, wr)
+                var = jnp.maximum(wmean(lp * lp, wr) - m * m, 0.0)
+                return m, jnp.sqrt(var + 1e-12)
+            mr_, sr_ = log_stats(real)
+            mf_, sf_ = log_stats(fake)
+            l = l + log_psd_w * (jnp.mean(jnp.abs(mf_ - mr_))
+                                 + jnp.mean(jnp.abs(sf_ - sr_)))
 
         if _live(coh_w):
             # Coherence on the 4 fixed pairs (constant indices fold statically)

@@ -42,7 +42,8 @@ from eegsynth.losses.gan import (
     g_bce, g_hinge, g_wgan, gradient_penalty,
 )
 from eegsynth.losses.spectral import (
-    coh_loss_random, cov_loss, posture_conditional_losses, psd_loss,
+    coh_loss_random, cov_loss, log_psd_loss, posture_conditional_losses,
+    psd_loss,
 )
 from eegsynth.models import cgan as _conv_model
 from eegsynth.models import cgan_transformer as _tf_model
@@ -132,6 +133,11 @@ class CGANHParams:
     coh_pairs: int = 24
     local_crop: int = 256
     fm_weight: float = 15.0      # v2: 50.0
+    # log-domain PSD matching (framework extra, losses/spectral.py
+    # log_psd_loss): targets the evaluation's log-PSD LogReg features, which
+    # the linear psd_weight cannot move (round-4 diagnosis). 0 = off
+    # (reference-parity default; the graph is unchanged).
+    log_psd_weight: float = 0.0
     ema: bool = True
     ema_decay: float = 0.999
     lr_decay: float = 1.0
@@ -179,7 +185,7 @@ class CGANHParams:
 # G-step loss weights that may be swept as TRACED scalars through one
 # executable (train/cgan_sweep.py). Order defines the sweep vector layout.
 G_WEIGHT_NAMES = ("fm_weight", "psd_weight", "coh_weight", "cov_weight",
-                  "amp_weight", "g_acgan_weight")
+                  "amp_weight", "g_acgan_weight", "log_psd_weight")
 
 
 V2_OVERRIDES = dict(epochs=600, prewarm=5, lr_g=6e-4, lr_d=8e-5, proj_scale=0.10,
@@ -393,13 +399,17 @@ def _make_epoch_core(cfg: CGANConfig, hp: CGANHParams, optG, optD,
             if hp.variant == "v1":
                 loss = loss + posture_conditional_losses(
                     real_g, fake2, labels_g, cfg.num_classes,
-                    w["psd_weight"], w["coh_weight"], w["cov_weight"])
+                    w["psd_weight"], w["coh_weight"], w["cov_weight"],
+                    w["log_psd_weight"])
             else:
                 loss = loss + w["psd_weight"] * psd_loss(real_g, fake2)
                 loss = loss + w["coh_weight"] * coh_loss_random(ks[19], real_g, fake2,
                                                                 hp.coh_pairs)
                 loss = loss + w["cov_weight"] * cov_loss(real_g, fake2)
                 loss = loss + w["amp_weight"] * amp_calib_loss(real_g, fake2)
+                if (isinstance(w["log_psd_weight"], jax.Array)
+                        or w["log_psd_weight"] > 0):
+                    loss = loss + w["log_psd_weight"] * log_psd_loss(real_g, fake2)
             return loss, (bn_new, {"dg": Dg1, "dl": Dl1})
 
         (g_loss_out, (bn, u_new2)), g_grads = jax.value_and_grad(

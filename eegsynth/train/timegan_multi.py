@@ -92,7 +92,11 @@ def _make_pre_phase(hp, opt, which: str):
     def phase(params, opt_state, key, X, n_valid, n_steps):
         carry = (params, opt_state, key, X, n_valid)
         carry, losses = jax.lax.scan(one_step, carry, None, length=n_steps)
-        return carry[0], carry[1], losses
+        # the evolved key is returned so the driver can chunk the phase into
+        # several dispatches with EXACTLY the carried-key stream (the
+        # runtime's per-dispatch execution watchdog applies to these scans
+        # too at larger-than-reference workloads — see dispatch_budget)
+        return carry[0], carry[1], carry[2], losses
 
     return jax.jit(jax.vmap(phase, in_axes=(0, 0, 0, 0, 0, None)),
                    static_argnums=(5,))
@@ -204,13 +208,37 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     steps_per_epoch = -(-n_max // min(hp.batch_size, n_max))
     t_all = time.perf_counter()
 
+    # Per-dispatch device-time cap (see dispatch_budget in the docstring),
+    # shared by the pre-phases and the GAN phase. Work per dispatch scales
+    # ~linearly in nb, B and T at this geometry (BASELINE.md batch-scaling
+    # table), so the budget is expressed in reference-scaled bucket-steps.
+    # With a mesh the buckets spread over the devices, so per-device work
+    # divides by the mesh size. Pre-phase steps are several times cheaper
+    # than GAN steps; reusing the GAN budget for them is conservative (at
+    # the reference config they still fit in one dispatch, bit-identical to
+    # the unchunked path — chunk boundaries thread the carried keys, so
+    # chunking never changes the stream).
+    n_dev_eff = 1 if mesh is None else mesh.devices.size
+    scale = (min(hp.batch_size, n_max) / 64.0) * (T / 768.0) * nb / n_dev_eff
+    chunk_cap = max(1, int(dispatch_budget / max(scale, 1e-9)))
+
+    def run_pre_phase(phase_fn, params, state, keys, n_total):
+        done, loss_parts = 0, []
+        while done < n_total:
+            ns = min(chunk_cap, n_total - done)
+            params, state, keys, lo = phase_fn(params, state, keys, X,
+                                               n_valid, ns)
+            loss_parts.append(lo)
+            done += ns
+        return params, jnp.concatenate(loss_parts, axis=1)
+
     # Phase 1 + 2
     optER = _make_opt(hp.lr_g, hp.grad_clip, hp.beta1, hp.beta2)
     er0 = jax.vmap(lambda p: {"embedder": p["embedder"], "recovery": p["recovery"]})(params)
     state = jax.vmap(optER.init)(er0)
     ae_phase = _make_pre_phase(hp, optER, "ae")
-    params, _, ae_losses = ae_phase(params, state, keys, X, n_valid,
-                                    hp.ae_epochs * steps_per_epoch)
+    params, ae_losses = run_pre_phase(ae_phase, params, state, keys,
+                                      hp.ae_epochs * steps_per_epoch)
     keys = _advance_keys(keys, 2)
     print(f"[AE] {hp.ae_epochs * steps_per_epoch} steps × {nb} buckets  "
           f"final recon≈{float(jnp.mean(ae_losses[:, -1])):.5f}", flush=True)
@@ -218,8 +246,8 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     optS = _make_opt(hp.lr_g, hp.grad_clip, hp.beta1, hp.beta2)
     state = jax.vmap(lambda p: optS.init(p["supervisor"]))(params)
     sup_phase = _make_pre_phase(hp, optS, "sup")
-    params, _, sup_losses = sup_phase(params, state, keys, X, n_valid,
-                                      hp.sup_epochs * steps_per_epoch)
+    params, sup_losses = run_pre_phase(sup_phase, params, state, keys,
+                                       hp.sup_epochs * steps_per_epoch)
     keys = _advance_keys(keys, 3)
     print(f"[SUP] {hp.sup_epochs * steps_per_epoch} steps × {nb} buckets  "
           f"final sup≈{float(jnp.mean(sup_losses[:, -1])):.5f}", flush=True)
@@ -259,14 +287,8 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     best_params = params
     best_loss = jnp.full((nb,), jnp.inf, jnp.float32)
     best_step = jnp.zeros((nb,), jnp.int32)
-    # Per-dispatch device-time cap (see dispatch_budget in the docstring).
-    # Work per dispatch scales ~linearly in nb, B and T at this geometry
-    # (BASELINE.md batch-scaling table), so the budget is expressed in
-    # reference-scaled bucket-steps. With a mesh the buckets are spread over
-    # the devices, so the per-device work divides by the mesh size.
-    n_dev_eff = 1 if mesh is None else mesh.devices.size
-    scale = (B_eff / 64.0) * (T / 768.0) * nb / n_dev_eff
-    chunk_eff = max(1, min(hp.chunk, int(dispatch_budget / max(scale, 1e-9))))
+    # GAN-phase instance of the shared per-dispatch cap (chunk_cap above)
+    chunk_eff = min(hp.chunk, chunk_cap)
     if chunk_eff < hp.chunk:
         print(f"==> per-dispatch GAN steps capped {hp.chunk} → {chunk_eff} "
               f"(dispatch_budget={dispatch_budget} ref bucket-steps; the "

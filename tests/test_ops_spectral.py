@@ -130,3 +130,39 @@ def test_windowing_and_scaling(rng):
     xs = minmax_apply(x, mn, rg)
     assert xs.min() >= 0.0 and xs.max() <= 1.0 + 1e-6
     np.testing.assert_allclose(minmax_invert(xs, mn, rg), x, atol=1e-4)
+
+
+def test_log_psd_loss_targets_log_domain(rng):
+    """log_psd_loss (framework extra) must see low-power-cell mismatches the
+    linear psd_loss is blind to, match the eval features' normalization, and
+    keep posture_conditional_losses' zero-weight graph unchanged."""
+    import jax
+    import jax.numpy as jnp
+    from eegsynth.losses.spectral import (
+        log_psd_loss, posture_conditional_losses, psd_loss,
+    )
+
+    # real: EEG-like 1/f spectrum — strong low-frequency, near-zero
+    # high-frequency power; fake adds a tiny high-frequency ripple that is
+    # invisible to linear PSD L1 but orders of magnitude off in the log
+    # domain (the separability mechanism found in round 4)
+    t = np.arange(64)
+    phases = rng.uniform(0, 2 * np.pi, (12, 3, 1))
+    r = (0.5 + 0.4 * np.sin(2 * np.pi * 2 * t / 64 + phases)).astype(np.float32)
+    ripple = 1e-3 * np.sin(2 * np.pi * 0.45 * t).astype(np.float32)
+    r = jnp.asarray(r)
+    f = r + jnp.asarray(ripple)[None, None, :]
+    lin, logd = float(psd_loss(r, f)), float(log_psd_loss(r, f))
+    # relative to each loss's own scale on this data, the log-domain term
+    # must amplify the mismatch by orders of magnitude
+    assert logd > 100 * lin, (lin, logd)
+
+    lab = jnp.asarray(np.arange(12) % 3)
+    base = posture_conditional_losses(r, f, lab, 3, 0.5, 0.25, 0.25)
+    same = posture_conditional_losses(r, f, lab, 3, 0.5, 0.25, 0.25, 0.0)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+    with_log = posture_conditional_losses(r, f, lab, 3, 0.5, 0.25, 0.25, 2.0)
+    assert float(with_log) > float(base)
+    g = jax.grad(lambda ff: posture_conditional_losses(
+        r, ff, lab, 3, 0.5, 0.25, 0.25, 2.0))(f)
+    assert bool(jnp.isfinite(g).all())
