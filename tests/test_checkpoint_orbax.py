@@ -80,6 +80,7 @@ def test_find_checkpoint_both_formats(tmp_path):
     assert is_orbax_path("a/ckpt_best.orbax") and not is_orbax_path("a/b.npz")
 
 
+@pytest.mark.slow
 def test_train_orbax_end_to_end_and_resume(tmp_path):
     from eegsynth.train.timegan import train_single_npz
 
@@ -120,6 +121,7 @@ def test_train_orbax_end_to_end_and_resume(tmp_path):
     assert x.shape == (3, 16, 2) and np.isfinite(np.asarray(x)).all()
 
 
+@pytest.mark.slow
 def test_cgan_orbax_fullstate_resume(tmp_path):
     """Only the full-state resume checkpoint switches to orbax; every
     generator artifact keeps its reference-contract NPZ name."""

@@ -32,6 +32,7 @@ def _run(mesh, params, X, hp, cfg, batch):
     return np.asarray(logs), jax.tree_util.tree_map(np.asarray, out[0])
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device():
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     cfg = TimeGANConfig(x_dim=4, z_dim=16, h_dim=32)
@@ -52,6 +53,7 @@ def test_data_parallel_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_cgan_data_parallel_matches_single_device():
     """Same CGAN epoch (transformer arch, v1 losses) with and without an
     8-device data mesh must agree to float tolerance."""
