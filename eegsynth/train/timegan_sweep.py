@@ -82,12 +82,15 @@ def sweep_bucket(npz_path, out_root, grid: list[dict], log=print,
     optER = _make_opt(hp.lr_g, hp.grad_clip, hp.beta1, hp.beta2)
     er0 = jax.vmap(lambda p: {"embedder": p["embedder"],
                               "recovery": p["recovery"]})(params)
-    params, _, ae_losses = _make_pre_phase(hp, optER, "ae")(
+    # _make_pre_phase's phase returns (params, opt_state, carried_keys,
+    # losses); the carried keys are dropped because the sweep advances its
+    # own per-phase tag stream below (matching train_all_buckets).
+    params, _, _, ae_losses = _make_pre_phase(hp, optER, "ae")(
         params, jax.vmap(optER.init)(er0), keys, X,
         n_valid.astype(jnp.int32), hp.ae_epochs * steps_per_epoch)
     keys = _advance_keys(keys, 2)
     optS = _make_opt(hp.lr_g, hp.grad_clip, hp.beta1, hp.beta2)
-    params, _, sup_losses = _make_pre_phase(hp, optS, "sup")(
+    params, _, _, sup_losses = _make_pre_phase(hp, optS, "sup")(
         params, jax.vmap(lambda p: optS.init(p["supervisor"]))(params), keys, X,
         n_valid.astype(jnp.int32), hp.sup_epochs * steps_per_epoch)
     keys = _advance_keys(keys, 3)
