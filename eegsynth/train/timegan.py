@@ -723,6 +723,9 @@ def train_single_npz(npz_path, out_dir, device=None, mesh=None,
             save(out_dir / f"ckpt_best{ext}", best_params, d_state, g_state,
                  bs, {"best": True, "best_loss": float(best_loss)})
             last_saved_best = bs
+        # no-op unless the fault-injection env var is set (crash-recovery tests)
+        from eegsynth.train.faults import maybe_inject_crash
+        maybe_inject_crash(done)
     ckpt_io.wait_for_saves()  # join any in-flight async orbax save
     gan_seconds = time.perf_counter() - t_start
     if prof is not None:

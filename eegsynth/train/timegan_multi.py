@@ -121,7 +121,9 @@ def _advance_keys(keys, tag: int):
 def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
                       profile_dir=None, bucket_weights=None,
                       max_stack: int | None = None,
-                      dispatch_budget: int = 2000, **hparams) -> dict:
+                      dispatch_budget: int = 2000,
+                      ckpt_every: int | None = None,
+                      resume: bool = False, **hparams) -> dict:
     """Vmapped multi-bucket training; writes the same per-bucket artifact set
     (train_log.csv, ckpt_latest/ckpt_best, synthetic.npz) as the sequential
     driver. Returns aggregate throughput stats.
@@ -166,6 +168,20 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     workaround for the watchdog crash above, superseded by
     ``dispatch_budget``; meshes shard the bucket axis across devices and
     never sub-stack.
+
+    ``ckpt_every``: crash-recovery cadence in GAN steps — at each crossing,
+    the FULL stacked training state (params, both optimizer states, best
+    tracking, accumulated logs) plus the step counter is written to
+    ``out_root/_multi_state.npz``. ``resume=True`` restores it and continues:
+    the RNG key schedule is a pure function of (seed, completed chunk count)
+    — init → per-phase fold_in tags → one tag-4 advance per GAN chunk — so a
+    resumed run's remaining trajectory is IDENTICAL to an uninterrupted run
+    with the same chunk schedule (tests/test_resume_crash.py). The reference
+    has no recovery story at all (SURVEY.md §5); its 18 sequential runs lose
+    everything on a crash. Default off (zero overhead; each save pulls the
+    stacked state through the device→host tunnel, seconds per save — pick a
+    cadence of thousands of steps). Unsupported with ``mesh``/``max_stack``
+    sub-stacks (raises).
     """
     out_root = Path(out_root)
     # fused-scan GAN step is the measured winner for the vmapped trainer
@@ -222,6 +238,26 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     scale = (min(hp.batch_size, n_max) / 64.0) * (T / 768.0) * nb / n_dev_eff
     chunk_cap = max(1, int(dispatch_budget / max(scale, 1e-9)))
 
+    if (ckpt_every or resume) and (mesh is not None or (
+            max_stack is not None and nb > max_stack)):
+        raise ValueError("ckpt_every/resume support the default single-stack "
+                         "single-process trainer only (no mesh/max_stack)")
+    state_path = out_root / "_multi_state.npz"
+    resume_from = None  # (done, chunks_done) — trees load after templates exist
+    if resume and state_path.exists():
+        rmeta = ckpt_io.load_meta(state_path)
+        expect = {"names": ",".join(names), "seed": hp.seed,
+                  "gan_steps": hp.gan_steps,
+                  "chunk_eff": min(hp.chunk, chunk_cap)}
+        got = {k: type(v)(rmeta.get(k)) for k, v in expect.items()}
+        if got != expect:
+            raise ValueError(f"{state_path} does not match this run "
+                             f"(saved {got}, expected {expect}) — wrong "
+                             "out_root or changed config")
+        resume_from = (int(rmeta["done"]), int(rmeta["chunks_done"]))
+        print(f"==> resuming GAN phase from step {resume_from[0]} "
+              f"({state_path})", flush=True)
+
     def run_pre_phase(phase_fn, params, state, keys, n_total):
         done, loss_parts = 0, []
         while done < n_total:
@@ -232,25 +268,31 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
             done += ns
         return params, jnp.concatenate(loss_parts, axis=1)
 
-    # Phase 1 + 2
-    optER = _make_opt(hp.lr_g, hp.grad_clip, hp.beta1, hp.beta2)
-    er0 = jax.vmap(lambda p: {"embedder": p["embedder"], "recovery": p["recovery"]})(params)
-    state = jax.vmap(optER.init)(er0)
-    ae_phase = _make_pre_phase(hp, optER, "ae")
-    params, ae_losses = run_pre_phase(ae_phase, params, state, keys,
-                                      hp.ae_epochs * steps_per_epoch)
-    keys = _advance_keys(keys, 2)
-    print(f"[AE] {hp.ae_epochs * steps_per_epoch} steps × {nb} buckets  "
-          f"final recon≈{float(jnp.mean(ae_losses[:, -1])):.5f}", flush=True)
+    # Phase 1 + 2 (skipped on resume: the restored state supersedes them;
+    # the tag advances are pure key functions and must still happen so the
+    # GAN-phase key schedule is the pure (seed, chunk count) function the
+    # resume contract relies on)
+    if resume_from is None:
+        optER = _make_opt(hp.lr_g, hp.grad_clip, hp.beta1, hp.beta2)
+        er0 = jax.vmap(lambda p: {"embedder": p["embedder"], "recovery": p["recovery"]})(params)
+        state = jax.vmap(optER.init)(er0)
+        ae_phase = _make_pre_phase(hp, optER, "ae")
+        params, ae_losses = run_pre_phase(ae_phase, params, state, keys,
+                                          hp.ae_epochs * steps_per_epoch)
+        keys = _advance_keys(keys, 2)
+        print(f"[AE] {hp.ae_epochs * steps_per_epoch} steps × {nb} buckets  "
+              f"final recon≈{float(jnp.mean(ae_losses[:, -1])):.5f}", flush=True)
 
-    optS = _make_opt(hp.lr_g, hp.grad_clip, hp.beta1, hp.beta2)
-    state = jax.vmap(lambda p: optS.init(p["supervisor"]))(params)
-    sup_phase = _make_pre_phase(hp, optS, "sup")
-    params, sup_losses = run_pre_phase(sup_phase, params, state, keys,
-                                       hp.sup_epochs * steps_per_epoch)
-    keys = _advance_keys(keys, 3)
-    print(f"[SUP] {hp.sup_epochs * steps_per_epoch} steps × {nb} buckets  "
-          f"final sup≈{float(jnp.mean(sup_losses[:, -1])):.5f}", flush=True)
+        optS = _make_opt(hp.lr_g, hp.grad_clip, hp.beta1, hp.beta2)
+        state = jax.vmap(lambda p: optS.init(p["supervisor"]))(params)
+        sup_phase = _make_pre_phase(hp, optS, "sup")
+        params, sup_losses = run_pre_phase(sup_phase, params, state, keys,
+                                           hp.sup_epochs * steps_per_epoch)
+        keys = _advance_keys(keys, 3)
+        print(f"[SUP] {hp.sup_epochs * steps_per_epoch} steps × {nb} buckets  "
+              f"final sup≈{float(jnp.mean(sup_losses[:, -1])):.5f}", flush=True)
+    else:
+        keys = _advance_keys(_advance_keys(keys, 2), 3)
 
     # Phase 3: vmapped GAN chunks
     optD, optG = make_gan_opts(hp)
@@ -289,6 +331,23 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     best_step = jnp.zeros((nb,), jnp.int32)
     # GAN-phase instance of the shared per-dispatch cap (chunk_cap above)
     chunk_eff = min(hp.chunk, chunk_cap)
+
+    done0, chunks_done, resume_logs = 0, 0, None
+    if resume_from is not None:
+        done0, chunks_done = resume_from
+        templates = {"model": params, "optD": d_state, "optG": g_state,
+                     "best": best_params, "best_loss": best_loss,
+                     "best_step": best_step,
+                     "logs": np.zeros((nb, done0, 8), np.float32)}
+        trees, _ = ckpt_io.load_checkpoint(state_path, templates)
+        params, d_state, g_state = trees["model"], trees["optD"], trees["optG"]
+        best_params, best_loss, best_step = (trees["best"], trees["best_loss"],
+                                             trees["best_step"])
+        resume_logs = np.asarray(trees["logs"])
+        # fast-forward the key schedule: one tag-4 advance per completed chunk
+        for _ in range(chunks_done):
+            keys = _advance_keys(keys, 4)
+
     if chunk_eff < hp.chunk:
         print(f"==> per-dispatch GAN steps capped {hp.chunk} → {chunk_eff} "
               f"(dispatch_budget={dispatch_budget} ref bucket-steps; the "
@@ -327,12 +386,31 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
               f"D={row[:, 0].mean():.4f} acc≈{row[:, 1].mean():.2f} "
               f"G={row[:, 2].mean():.4f}", flush=True)
 
+    def save_state(done, chunks):
+        out_root.mkdir(parents=True, exist_ok=True)
+        g0 = groups[0]  # ckpt_every is gated to the single-group path
+        parts = ([resume_logs] if resume_logs is not None else []) + \
+            [np.asarray(lg) for lg in g0["logs"]]
+        logs_host = (np.concatenate(parts, axis=1) if parts
+                     else np.zeros((nb, 0, 8), np.float32))
+        ckpt_io.save_checkpoint(
+            state_path,
+            {"model": g0["params"], "optD": g0["d"], "optG": g0["g"],
+             "best": g0["bp"], "best_loss": g0["bl"], "best_step": g0["bs"],
+             "logs": logs_host},
+            {"names": ",".join(names), "seed": hp.seed,
+             "gan_steps": hp.gan_steps, "chunk_eff": chunk_eff,
+             "done": int(done), "chunks_done": int(chunks)})
+        print(f"[state] saved {state_path.name} @ step {done}", flush=True)
+
+    from eegsynth.train.faults import maybe_inject_crash
+
     prof = None
     if profile_dir is not None:
         prof = jax.profiler.trace(str(profile_dir))
         prof.__enter__()
     t0 = time.perf_counter()
-    done = 0
+    done = done0
     while done < hp.gan_steps:
         n_steps = min(chunk_eff, hp.gan_steps - done)
         keys = _advance_keys(keys, 4)  # chained: input differs each chunk
@@ -348,6 +426,11 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
             grp["logs"].append(logs)               # (nb_g, n_steps, 8) device
             chunk_logs.append(logs)
         done += n_steps
+        chunks_done += 1
+        if (ckpt_every and done < hp.gan_steps
+                and done // ckpt_every > (done - n_steps) // ckpt_every):
+            save_state(done, chunks_done)
+        maybe_inject_crash(done)  # no-op unless the test env var is set
         if pending is not None:
             show(pending)
         pending = (done, chunk_logs)
@@ -360,7 +443,7 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
         g0 = groups[0]
         params, d_state, g_state = g0["params"], g0["d"], g0["g"]
         best_params, best_loss, best_step = g0["bp"], g0["bl"], g0["bs"]
-        all_logs = g0["logs"]
+        all_logs = ([resume_logs] if resume_logs is not None else []) + g0["logs"]
     else:
         cat = lambda key: jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *[g[key] for g in groups])
@@ -371,9 +454,10 @@ def train_all_buckets(data_dir, out_root, mesh=None, log_every: int = 100,
     gan_seconds = time.perf_counter() - t0
     if prof is not None:
         prof.__exit__(None, None, None)
-    agg_steps_per_sec = n_real_buckets * hp.gan_steps / gan_seconds
+    agg_steps_per_sec = n_real_buckets * (hp.gan_steps - done0) / max(
+        gan_seconds, 1e-9)
     total_seconds = time.perf_counter() - t_all
-    print(f"[GAN] {nb}×{hp.gan_steps} steps in {gan_seconds:.1f}s → "
+    print(f"[GAN] {nb}×{hp.gan_steps - done0} steps in {gan_seconds:.1f}s → "
           f"{agg_steps_per_sec:.1f} aggregate steps/s", flush=True)
 
     # Per-bucket artifacts (coordinator only: multihost runs share the FS,

@@ -103,6 +103,13 @@ def main():
                     help="legacy escape hatch: additionally vmap at most this "
                          "many buckets per GAN dispatch (sequential "
                          "sub-stacks); superseded by --dispatch_budget")
+    ap.add_argument("--ckpt_every", type=int, default=None,
+                    help="with --parallel_buckets: save the full stacked "
+                         "training state to out_dir/_multi_state.npz every "
+                         "this many GAN steps, enabling --resume after a "
+                         "worker crash (scripts/supervise.py relaunches "
+                         "with --resume automatically; resumed trajectories "
+                         "are identical to uninterrupted ones)")
     ap.add_argument("--pallas_multigru", action="store_true",
                     help="with --parallel_buckets + fused_step: run all "
                          "stacked buckets' D-input recurrences in one Pallas "
@@ -163,10 +170,6 @@ def main():
             raise SystemExit("--ckpt_format/--async_ckpt apply to the "
                              "sequential trainer only (the vmapped trainer "
                              "writes NPZ at run end).")
-        if args.resume:
-            raise SystemExit("--resume is not supported with --parallel_buckets "
-                             "(the vmapped trainer has no mid-run checkpoints); "
-                             "drop one flag or finish the run sequentially.")
         bucket_weights = None
         if args.bucket_weights:
             import json as _json
@@ -181,9 +184,12 @@ def main():
             extra["dispatch_budget"] = args.dispatch_budget
         if args.max_stack is not None:
             extra["max_stack"] = args.max_stack
+        if args.ckpt_every is not None:
+            extra["ckpt_every"] = args.ckpt_every
         res = train_all_buckets(data_dir, out_root, mesh=mesh,
                                 profile_dir=args.profile_dir,
-                                bucket_weights=bucket_weights, **extra, **hp)
+                                bucket_weights=bucket_weights,
+                                resume=args.resume, **extra, **hp)
         print(f"\nAggregate: {res['aggregate_steps_per_sec']:.1f} GAN steps/s "
               f"across {res['n_buckets']} buckets "
               f"({res['total_seconds']:.1f}s total)")
