@@ -129,14 +129,16 @@ def main():
             t_run = time.perf_counter()
         done += ns
     row = np.asarray(logs[:, -1, :])      # chained host-pull barrier
-    run_s = time.perf_counter() - t_run if done > (args.chunk) else 0.0
-    steps_after_first = max(0, args.steps - args.chunk)
-    agg = (nb * steps_after_first / run_s) if run_s > 0 else float("nan")
     ok = bool(np.isfinite(row).all())
-    print("BISECT " + json.dumps({**case, "compile_plus_first_s": round(first, 1),
-                                  "run_s": round(run_s, 2),
-                                  "agg_steps_per_s": round(agg, 1),
-                                  "ok": ok}), flush=True)
+    out = {**case, "compile_plus_first_s": round(first, 1), "ok": ok}
+    if done > args.chunk:
+        # warm rate over the post-first-chunk dispatches only; with a single
+        # dispatch there is no warm window, so the timing keys are OMITTED
+        # rather than printed as 0/NaN masquerading as a measurement
+        run_s = time.perf_counter() - t_run
+        out["run_s"] = round(run_s, 2)
+        out["agg_steps_per_s"] = round(nb * (args.steps - args.chunk) / run_s, 1)
+    print("BISECT " + json.dumps(out), flush=True)
     sys.exit(0 if ok else 3)
 
 

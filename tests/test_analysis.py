@@ -62,8 +62,9 @@ def test_tbr_matrix_matches_scipy(rng):
     for i in range(3):
         for c in range(2):
             fr, P = sig.welch(X[i, :, c], fs=fs, nperseg=128, noverlap=64)
-            th = np.trapz(P[(fr >= 4) & (fr <= 8)], fr[(fr >= 4) & (fr <= 8)])
-            be = np.trapz(P[(fr >= 13) & (fr <= 30)], fr[(fr >= 13) & (fr <= 30)])
+            trapz = getattr(np, "trapezoid", np.trapz)  # np.trapz deprecated
+            th = trapz(P[(fr >= 4) & (fr <= 8)], fr[(fr >= 4) & (fr <= 8)])
+            be = trapz(P[(fr >= 13) & (fr <= 30)], fr[(fr >= 13) & (fr <= 30)])
             np.testing.assert_allclose(got[i, c], th / (be + 1e-12), rtol=1e-6)
 
 

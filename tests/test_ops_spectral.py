@@ -30,7 +30,8 @@ def test_welch_1d_and_odd_nperseg(rng):
 def test_trapezoid(rng):
     y = rng.standard_normal(50)
     x = np.sort(rng.standard_normal(50))
-    np.testing.assert_allclose(float(trapezoid(y, x)), np.trapz(y, x), rtol=1e-9)
+    oracle = getattr(np, "trapezoid", np.trapz)  # np.trapz deprecated in numpy 2
+    np.testing.assert_allclose(float(trapezoid(y, x)), oracle(y, x), rtol=1e-9)
 
 
 def test_rfft_power(rng):
