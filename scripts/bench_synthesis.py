@@ -173,6 +173,10 @@ def main():
     ap.add_argument("--time_chunk", type=int, default=None,
                     help="also bench the streaming carried-state path at this "
                          "chunk length")
+    ap.add_argument("--stream_only", action="store_true",
+                    help="skip the one-shot row (e.g. f32 one-shot at "
+                         "batch 2048 × T 7680+ exceeds the 16 GB HBM — the "
+                         "streaming path is the memory-bounded route there)")
     ap.add_argument("--parity", action="store_true",
                     help="run the on-chip chunked-vs-oneshot equality check "
                          "at (--batch[0], --T, --time_chunk)")
@@ -189,10 +193,12 @@ def main():
 
     for b in args.batch:
         if args.model in ("timegan", "both"):
-            w = bench_timegan(b, args.iters, T=args.T, precision=args.precision)
-            print(f"timegan synth  batch={b:5d} T={args.T} {args.precision}: "
-                  f"{w:,.0f} windows/s = {w * args.T:,.0f} samples/s",
-                  flush=True)
+            if not args.stream_only:
+                w = bench_timegan(b, args.iters, T=args.T,
+                                  precision=args.precision)
+                print(f"timegan synth  batch={b:5d} T={args.T} "
+                      f"{args.precision}: {w:,.0f} windows/s = "
+                      f"{w * args.T:,.0f} samples/s", flush=True)
             if args.time_chunk:
                 ws = bench_timegan_stream(b, args.T, args.time_chunk,
                                           precision=args.precision)

@@ -22,6 +22,7 @@ HP_FLAGS = {
     "inst_noise_end": float, "diffaugment_p": float, "psd_weight": float,
     "coh_weight": float, "cov_weight": float, "amp_weight": float,
     "coh_pairs": int, "local_crop": int,
+    "log_psd_weight": float,  # log-domain PSD moment matching (quality preset)
     "fm_weight": float, "ema_decay": float, "lr_decay": float,
     "lr_decay_step": int, "save_every": int, "print_every": int, "epochs_per_dispatch": int, "seed": int,
     "arch": str, "tf_dim": int, "tf_depth": int, "tf_heads": int, "tf_patch": int,

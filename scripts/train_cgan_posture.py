@@ -18,6 +18,7 @@ HP_FLAGS = {
     "acgan_weight": float, "g_acgan_weight": float, "fm_weight": float,
     "psd_weight": float, "coh_weight": float, "cov_weight": float,
     "amp_weight": float, "coh_pairs": int, "ema_decay": float,
+    "log_psd_weight": float,  # log-domain PSD moment matching (quality preset)
     "save_every": int, "epochs_per_dispatch": int, "seed": int,
     "arch": str, "tf_dim": int, "tf_depth": int, "tf_heads": int, "tf_patch": int,
     "ckpt_format": str,  # full-state resume checkpoints: npz | orbax
