@@ -93,6 +93,7 @@ def main():
         "vs_baseline": round(steps_per_sec / REFERENCE_CPU_STEPS_PER_SEC, 2),
         "multibucket_agg_steps_per_sec": None,
         "synth_windows_per_sec_bf16": None,
+        "synth_long_T8192_samples_per_sec_bf16": None,
     }
 
     try:
@@ -104,6 +105,14 @@ def main():
         out["synth_windows_per_sec_bf16"] = round(bench_synth_bf16(cfg))
     except Exception as e:
         print(f"# synth leg failed: {e!r}", file=sys.stderr)
+    try:
+        # long-horizon leg (the reference's own gen_len example scale —
+        # BASELINE.md round-5 long-T table): samples/s so the number is
+        # comparable across horizons
+        w = bench_synth_bf16(cfg, batch=512, iters=10, T=8192)
+        out["synth_long_T8192_samples_per_sec_bf16"] = round(w * 8192)
+    except Exception as e:
+        print(f"# long-T synth leg failed: {e!r}", file=sys.stderr)
 
     print(json.dumps(out))
 
