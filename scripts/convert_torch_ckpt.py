@@ -248,7 +248,9 @@ def convert_file(pt_path: Path, out_path: Path) -> dict:
 
 def _t(a):
     import torch
-    return torch.from_numpy(np.ascontiguousarray(np.asarray(a, np.float32)))
+    # .copy() guarantees a writable buffer: torch.from_numpy warns on
+    # read-only arrays (e.g. zipfile-backed npz loads)
+    return torch.from_numpy(np.asarray(a, np.float32).copy(order="C"))
 
 
 def reverse_timegan_model(params: dict) -> dict:

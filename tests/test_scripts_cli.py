@@ -72,7 +72,7 @@ def test_generate_long_synth_cli(tiny_run, monkeypatch):
     monkeypatch.setattr(sys, "argv", [
         "generate_long_synth.py", "--runs_dir", str(runs_dir),
         "--real_dir", str(real_dir), "--gen_len", "48", "--n", "5",
-        "--denorm", "--batch", "3"])
+        "--denorm", "--batch", "3", "--time_chunk", "16"])
     mod.main()
     out = np.load(runs_dir / "posture1_no_exo" / "synthetic_long.npz")["X"]
     assert out.shape == (5, 48, 3)          # arbitrary-T synthesis
