@@ -98,19 +98,56 @@ def pearson_lag_corrs(x: jax.Array, max_lag: int) -> jax.Array:
     return (cov / (den + 1e-12)).astype(x.dtype)
 
 
-@partial(jax.jit, static_argnames=("max_lag",))
-def mean_acf_per_channel(x: jax.Array, max_lag: int) -> jax.Array:
+def _pearson_lag_corrs_np64(xt, max_lag: int):
+    """Host float64 twin of :func:`pearson_lag_corrs` (same FFT + prefix-sum
+    formulation, numpy). Float64 is REQUIRED for the eval statistic: a
+    sequence whose per-lag head/tail SEGMENT is nearly constant relative to
+    its mean (segment var/mean² ~1e-5, e.g. a GAN output flat over the tail)
+    cancels catastrophically in the f32 ``E[x²]−m²`` form — measured |corr|
+    up to 1e6 on a window whose f64 oracle value is −0.71 (round-5 pipeline,
+    posture9_with_exo). Global pre-centering/standardization cannot fix it
+    (the cancellation is in the per-segment moments); the reference computes
+    this statistic with f64 ``np.corrcoef`` (evaluation.py:63-70), so f64 is
+    also the parity semantics. Host cost is negligible at eval-corpus sizes
+    (~1 s for the full 2,338-window global)."""
+    import numpy as np
+
+    xt = np.asarray(xt, np.float64)
+    T = xt.shape[-1]
+    L = min(max_lag, T - 1)
+    xd = xt - xt.mean(axis=-1, keepdims=True)
+    spec = np.fft.rfft(xd, n=2 * T, axis=-1)
+    cross = np.fft.irfft(spec * np.conj(spec), n=2 * T, axis=-1)[..., 1:L + 1]
+    csum = np.cumsum(xd, axis=-1)
+    csum2 = np.cumsum(xd * xd, axis=-1)
+    total, total2 = csum[..., -1:], csum2[..., -1:]
+    n = (T - np.arange(1, L + 1)).astype(np.float64)
+    sum_a = csum[..., T - 1 - L: T - 1][..., ::-1]
+    sum_a2 = csum2[..., T - 1 - L: T - 1][..., ::-1]
+    sum_b = total - csum[..., 0:L]
+    sum_b2 = total2 - csum2[..., 0:L]
+    ma, mb = sum_a / n, sum_b / n
+    cov = cross / n - ma * mb
+    var_a = sum_a2 / n - ma * ma
+    var_b = sum_b2 / n - mb * mb
+    den = np.sqrt(np.maximum(var_a, 0.0) * np.maximum(var_b, 0.0))
+    return cov / (den + 1e-12)
+
+
+def mean_acf_per_channel(x, max_lag: int):
     """Reference-eval ACF feature: per-channel mean over sequences of the mean
     lag-1..max_lag Pearson autocorrelation (timeGAN/evaluation.py:124-128).
 
-    ``x``: (B, T, C) → (C,). Sequences that are nearly constant contribute 0.0,
-    matching the reference's std guard (std < 1e-8 → 0).
-    """
-    B, T, C = x.shape
-    xt = jnp.moveaxis(x, 1, -1)                               # (B, C, T)
-    corr = pearson_lag_corrs(xt, max_lag)                     # (B, C, L)
-    val = jnp.mean(corr, axis=-1)                             # (B, C)
+    ``x``: (B, T, C) → (C,) numpy. Sequences that are nearly constant
+    contribute 0.0, matching the reference's std guard (std < 1e-8 → 0).
+    Runs on the HOST in float64 — see :func:`_pearson_lag_corrs_np64` for why
+    f32 is numerically unsafe for this statistic (eval-only; the training ACF
+    loss keeps the on-device :func:`acf_per_channel`)."""
+    import numpy as np
+
+    xt = np.moveaxis(np.asarray(x), 1, -1)                    # (B, C, T)
+    corr = _pearson_lag_corrs_np64(xt, max_lag)               # (B, C, L)
+    val = corr.mean(axis=-1)                                  # (B, C)
     # np.std (ddof=0) guard, matching evaluation.py:64
-    guard = jnp.std(xt, axis=-1) < 1e-8
-    val = jnp.where(guard, 0.0, val)
-    return jnp.mean(val, axis=0)
+    val = np.where(xt.std(axis=-1) < 1e-8, 0.0, val)
+    return val.mean(axis=0)

@@ -91,6 +91,23 @@ def test_mean_acf_ill_conditioned_f32(rng):
     np.testing.assert_allclose(ours, ref, atol=5e-3)
 
 
+def test_mean_acf_flat_segment(rng):
+    # Regression (round 5): a window whose per-lag tail SEGMENT is nearly
+    # constant relative to its mean (segment var/mean² ~1e-5 — a real GAN
+    # output flat over its tail) cancels catastrophically in any f32
+    # E[x²]−m² form even after global centering/standardization (measured
+    # |corr| up to 1e6 where the f64 oracle says −0.71). The eval feature
+    # must run in host f64 and stay on the oracle.
+    x = np.full((4, 768, 2), -0.16, np.float32)
+    x[:, :80, :] += 0.04 * rng.standard_normal((4, 80, 2)).astype(np.float32)
+    x[:, 80:, :] += 1e-4 * rng.standard_normal((4, 688, 2)).astype(np.float32)
+    ours = np.asarray(mean_acf_per_channel(x, 96))
+    ref = [np.mean([_autocorr_seq_oracle(seq[:, c].astype(np.float64), 96)
+                    for seq in x]) for c in range(2)]
+    assert np.all(np.abs(ours) <= 1.0)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
 def test_mean_acf_per_channel(rng):
     x = rng.standard_normal((5, 128, 3)).astype(np.float64)
     x[:, :, 1] = 0.5  # constant channel triggers the std guard
